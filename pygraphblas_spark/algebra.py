@@ -1,0 +1,399 @@
+"""First-class algebra objects: UnaryOp, BinaryOp, Monoid, Semiring, SelectOp.
+
+The reference parameterizes every operator with these (reference:
+``pygraphblas/unaryop.py:21``, ``binaryop.py:28``, ``monoid.py:37``,
+``semiring.py:29``, ``selectop.py:31``); SuiteSparse instantiates ~1700
+semirings by cross-product over types. We keep the *algebra* first-class but
+type-generic: each op holds Spark ``Column`` expression builders, and a
+Monoid additionally holds the aggregate expression + identity, so a Semiring
+``(⊕-monoid, ⊗-binop)`` compiles a contraction directly into
+``join → groupBy → agg`` that stays inside whole-stage codegen.
+
+Custom (user-defined) ops: the reference jits Python via numba
+(``binaryop.py:137-191``); here a user registers a Column-expression
+function (JVM fast path) or a pandas aggregate (Arrow path) — see
+``monoid()`` / ``semiring()`` factories.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# Unary ops  (reference inventory: pygraphblas/unaryop.py:55-62)
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class UnaryOp:
+    """A named element-wise function of one value column.
+
+    ``fn(val)`` may also use the index columns for positional ops
+    (POSITIONI/POSITIONJ are index-valued in the reference); those take
+    ``fn(val, src, dst)`` via ``positional=True``.
+    """
+
+    name: str
+    fn: Callable[..., Column]
+    positional: bool = False
+
+    def __call__(self, val: Column, src: Column = None, dst: Column = None) -> Column:
+        if self.positional:
+            return self.fn(val, src, dst)
+        return self.fn(val)
+
+
+_UNARY: dict[str, UnaryOp] = {}
+
+
+def unary_op(name: str, fn: Callable[..., Column] = None, positional: bool = False) -> UnaryOp:
+    """Register (or build) a named UnaryOp. With ``fn=None``, look up."""
+    if fn is None:
+        return _UNARY[name.upper()]
+    op = UnaryOp(name.upper(), fn, positional)
+    _UNARY[op.name] = op
+    return op
+
+
+# The full reference unary inventory (unaryop.py:55-62) — all map to
+# built-in pyspark.sql.functions (JVM-side, codegen'd).
+def _c_div(a: Column, b: Column) -> Column:
+    """IEEE-754 division like the reference's C kernels: x/0 = ±inf,
+    0/0 = NaN (Spark's `/` yields NULL on zero divisors instead)."""
+    return F.when(b != 0, a / b).otherwise(
+        F.when(a > 0, F.lit(float("inf")))
+        .when(a < 0, F.lit(float("-inf")))
+        .otherwise(F.lit(float("nan")))
+    )
+
+
+unary_op("IDENTITY", lambda c: c)
+unary_op("ONE", lambda c: F.lit(1))
+unary_op("AINV", lambda c: -c)
+unary_op("MINV", lambda c: _c_div(F.lit(1.0), c))
+unary_op("LNOT", lambda c: ~c.cast("boolean"))
+unary_op("ABS", F.abs)
+unary_op("SQRT", F.sqrt)
+unary_op("LOG", F.log)
+unary_op("EXP", F.exp)
+unary_op("LOG2", F.log2)
+unary_op("LOG10", F.log10)
+unary_op("LOG1P", F.log1p)
+unary_op("EXPM1", F.expm1)
+unary_op("SIN", F.sin)
+unary_op("COS", F.cos)
+unary_op("TAN", F.tan)
+unary_op("ASIN", F.asin)
+unary_op("ACOS", F.acos)
+unary_op("ATAN", F.atan)
+unary_op("SINH", F.sinh)
+unary_op("COSH", F.cosh)
+unary_op("TANH", F.tanh)
+unary_op("ASINH", F.asinh)
+unary_op("ACOSH", F.acosh)
+unary_op("ATANH", F.atanh)
+unary_op("SIGNUM", F.signum)
+unary_op("CEIL", F.ceil)
+unary_op("FLOOR", F.floor)
+unary_op("ROUND", F.round)
+unary_op("TRUNC", lambda c: c.cast("long").cast("double"))
+unary_op("LGAMMA", lambda c: F.expr(f"ln(abs(gamma({'__c__'})))"))  # placeholder; see below
+unary_op("ISINF", lambda c: c == F.lit(float("inf")))
+unary_op("ISNAN", F.isnan)
+unary_op("ISFINITE", lambda c: ~(F.isnan(c) | (F.abs(c) == F.lit(float("inf")))))
+unary_op("POSITIONI", lambda v, s, d: s, positional=True)
+unary_op("POSITIONI1", lambda v, s, d: s + 1, positional=True)
+unary_op("POSITIONJ", lambda v, s, d: d, positional=True)
+unary_op("POSITIONJ1", lambda v, s, d: d + 1, positional=True)
+
+# LGAMMA needs the column inline; replace placeholder with a proper builder.
+_UNARY["LGAMMA"] = UnaryOp(
+    "LGAMMA", lambda c: F.log(F.abs(F.expr("exp(1)")))  # overwritten just below
+)
+
+
+def _lgamma(c: Column) -> Column:
+    # Spark has no lgamma builtin; Stirling-free exact route: use java
+    # log-gamma via expr on double — not available either, so compute via
+    # log(abs(gamma)) is unavailable. Keep LGAMMA as a numpy-backed Arrow
+    # path: raise here to signal callers to use the pandas kernel.
+    raise NotImplementedError(
+        "LGAMMA/TGAMMA/ERF/ERFC have no Spark builtin; use "
+        "pygraphblas_spark.kernels.apply_pandas with numpy/scipy."
+    )
+
+
+_UNARY["LGAMMA"] = UnaryOp("LGAMMA", _lgamma)
+_UNARY["TGAMMA"] = UnaryOp("TGAMMA", _lgamma)
+_UNARY["ERF"] = UnaryOp("ERF", _lgamma)
+_UNARY["ERFC"] = UnaryOp("ERFC", _lgamma)
+
+
+# --------------------------------------------------------------------------
+# Binary ops  (reference inventory: pygraphblas/binaryop.py:104-110)
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class BinaryOp:
+    """A named element-wise function of two value columns.
+
+    ``positional=True`` ops (FIRSTI/SECONDJ/...) receive
+    ``fn(a, b, a_src, a_dst, b_src, b_dst)``.
+    """
+
+    name: str
+    fn: Callable[..., Column]
+    positional: bool = False
+
+    def __call__(self, a: Column, b: Column, *pos) -> Column:
+        if self.positional:
+            return self.fn(a, b, *pos)
+        return self.fn(a, b)
+
+
+_BINARY: dict[str, BinaryOp] = {}
+
+
+def binary_op(name: str, fn: Callable[..., Column] = None, positional: bool = False) -> BinaryOp:
+    if fn is None:
+        return _BINARY[name.upper()]
+    op = BinaryOp(name.upper(), fn, positional)
+    _BINARY[op.name] = op
+    return op
+
+
+binary_op("FIRST", lambda a, b: a)
+binary_op("SECOND", lambda a, b: b)
+binary_op("PAIR", lambda a, b: F.lit(1))
+binary_op("ANY", lambda a, b: a)  # ANY may return either; we pin FIRST for determinism
+binary_op("MIN", F.least)
+binary_op("MAX", F.greatest)
+binary_op("PLUS", lambda a, b: a + b)
+binary_op("MINUS", lambda a, b: a - b)
+binary_op("RMINUS", lambda a, b: b - a)
+binary_op("TIMES", lambda a, b: a * b)
+binary_op("DIV", _c_div)
+binary_op("RDIV", lambda a, b: _c_div(b, a))
+binary_op("POW", lambda a, b: F.pow(a, b))
+binary_op("EQ", lambda a, b: a == b)
+binary_op("NE", lambda a, b: a != b)
+binary_op("GT", lambda a, b: a > b)
+binary_op("LT", lambda a, b: a < b)
+binary_op("GE", lambda a, b: a >= b)
+binary_op("LE", lambda a, b: a <= b)
+binary_op("ISEQ", lambda a, b: (a == b).cast("int"))
+binary_op("ISNE", lambda a, b: (a != b).cast("int"))
+binary_op("ISGT", lambda a, b: (a > b).cast("int"))
+binary_op("ISLT", lambda a, b: (a < b).cast("int"))
+binary_op("ISGE", lambda a, b: (a >= b).cast("int"))
+binary_op("ISLE", lambda a, b: (a <= b).cast("int"))
+binary_op("LOR", lambda a, b: a.cast("boolean") | b.cast("boolean"))
+binary_op("LAND", lambda a, b: a.cast("boolean") & b.cast("boolean"))
+binary_op("LXOR", lambda a, b: a.cast("boolean") != b.cast("boolean"))
+binary_op("BOR", lambda a, b: F.expr("a | b") if False else a.bitwiseOR(b))
+binary_op("BAND", lambda a, b: a.bitwiseAND(b))
+binary_op("BXOR", lambda a, b: a.bitwiseXOR(b))
+binary_op("BXNOR", lambda a, b: ~(a.bitwiseXOR(b)))
+binary_op("ATAN2", F.atan2)
+binary_op("HYPOT", F.hypot)
+binary_op("FMOD", lambda a, b: a % b)
+binary_op("REMAINDER", lambda a, b: a - F.round(a / b) * b)
+binary_op("COPYSIGN", lambda a, b: F.abs(a) * F.when(b < 0, F.lit(-1.0)).otherwise(F.lit(1.0)))
+binary_op("LDEXP", lambda a, b: a * F.pow(F.lit(2.0), b))
+binary_op("FIRSTI", lambda a, b, asrc, adst, bsrc, bdst: asrc, positional=True)
+binary_op("FIRSTJ", lambda a, b, asrc, adst, bsrc, bdst: adst, positional=True)
+binary_op("SECONDI", lambda a, b, asrc, adst, bsrc, bdst: bsrc, positional=True)
+binary_op("SECONDJ", lambda a, b, asrc, adst, bsrc, bdst: bdst, positional=True)
+
+
+# --------------------------------------------------------------------------
+# Monoids  (reference: pygraphblas/monoid.py:37; add-monoids MIN MAX PLUS
+# TIMES ANY + boolean LOR LAND LXOR EQ + bitwise)
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Monoid:
+    """Associative+commutative reducer: aggregate expression + identity +
+    element-combine binop (used by eadd/accum merges)."""
+
+    name: str
+    agg: Callable[[Column], Column]  # Column -> aggregate Column
+    identity: object
+    combine: BinaryOp  # pairwise version, for full_outer merges
+
+    def __call__(self, c: Column) -> Column:
+        return self.agg(c)
+
+
+_MONOID: dict[str, Monoid] = {}
+
+
+def monoid(
+    name: str,
+    agg: Callable[[Column], Column] = None,
+    identity: object = None,
+    combine: BinaryOp | str = None,
+) -> Monoid:
+    if agg is None:
+        return _MONOID[name.upper()]
+    if isinstance(combine, str):
+        combine = binary_op(combine)
+    m = Monoid(name.upper(), agg, identity, combine)
+    _MONOID[m.name] = m
+    return m
+
+
+monoid("PLUS", F.sum, 0, "PLUS")
+monoid("TIMES", F.product, 1, "TIMES")
+monoid("MIN", F.min, float("inf"), "MIN")
+monoid("MAX", F.max, float("-inf"), "MAX")
+monoid("ANY", F.first, None, "ANY")  # deterministic-enough: first within group
+monoid("LOR", lambda c: F.max(c.cast("boolean").cast("int")).cast("boolean"), False, "LOR")
+monoid("LAND", lambda c: F.min(c.cast("boolean").cast("int")).cast("boolean"), True, "LAND")
+monoid("LXOR", lambda c: (F.sum(c.cast("boolean").cast("int")) % 2 == 1), False, "LXOR")
+monoid("EQ", lambda c: (F.count(F.when(~c.cast("boolean"), 1)) % 2 == 0), True, "EQ")
+monoid("BOR", lambda c: F.expr("bit_or(__x__)"), 0, "BOR")  # replaced below with builder
+monoid("BAND", lambda c: F.expr("bit_and(__x__)"), -1, "BAND")
+
+# bit_or/bit_and need the column object — register proper builders.
+_MONOID["BOR"] = Monoid("BOR", lambda c: F.bit_or(c), 0, binary_op("BOR"))
+_MONOID["BAND"] = Monoid("BAND", lambda c: F.bit_and(c), -1, binary_op("BAND"))
+_MONOID["BXOR"] = Monoid("BXOR", lambda c: F.bit_xor(c), 0, binary_op("BXOR"))
+
+
+# --------------------------------------------------------------------------
+# Semirings  (reference: pygraphblas/semiring.py:29, ~1700 instances; we
+# expose the named ones the algorithms use + a generic factory, see
+# SURVEY.md §2.2)
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Semiring:
+    """(⊕ add-monoid, ⊗ multiply-binop).
+
+    ``agg_direct`` short-circuits the compiled ``agg(mul(a,b))`` with a
+    cheaper equivalent aggregate when one exists — e.g. PLUS_PAIR is
+    ``count(*)`` (no value columns touched at all), PLUS_SECOND is
+    ``sum(b)`` (left values pruned from the join output → narrower shuffle).
+    """
+
+    name: str
+    add: Monoid
+    mul: BinaryOp
+    agg_direct: Optional[Callable[[Column, Column], Column]] = None
+
+    def agg_expr(self, a: Column, b: Column) -> Column:
+        if self.agg_direct is not None:
+            return self.agg_direct(a, b)
+        return self.add(self.mul(a, b))
+
+
+_SEMIRING: dict[str, Semiring] = {}
+
+
+def semiring(
+    name: str,
+    add: Monoid | str = None,
+    mul: BinaryOp | str = None,
+    agg_direct: Callable[[Column, Column], Column] = None,
+) -> Semiring:
+    """Look up a semiring by name ('PLUS_TIMES'), or register one.
+
+    Lookup auto-derives from the registered monoid/binop tables when not
+    pre-registered — mirroring the reference's regex-generated cross
+    product (semiring.py:87-121) without instantiating all 1700.
+    """
+    key = name.upper()
+    if add is None:
+        if key in _SEMIRING:
+            return _SEMIRING[key]
+        add_name, _, mul_name = key.partition("_")
+        s = Semiring(key, monoid(add_name), binary_op(mul_name))
+        _SEMIRING[key] = s
+        return s
+    if isinstance(add, str):
+        add = monoid(add)
+    if isinstance(mul, str):
+        mul = binary_op(mul)
+    s = Semiring(key, add, mul, agg_direct)
+    _SEMIRING[key] = s
+    return s
+
+
+# The named semirings the reference's shipped algorithms use (SURVEY.md
+# §2.2 table), each with its cheapest direct aggregate:
+semiring("PLUS_TIMES", "PLUS", "TIMES", lambda a, b: F.sum(a * b))
+semiring("PLUS_SECOND", "PLUS", "SECOND", lambda a, b: F.sum(b))
+semiring("PLUS_FIRST", "PLUS", "FIRST", lambda a, b: F.sum(a))
+semiring("PLUS_PAIR", "PLUS", "PAIR", lambda a, b: F.count(F.lit(1)))
+semiring("MIN_PLUS", "MIN", "PLUS", lambda a, b: F.min(a + b))
+semiring("MIN_SECOND", "MIN", "SECOND", lambda a, b: F.min(b))
+semiring("MIN_FIRST", "MIN", "FIRST", lambda a, b: F.min(a))
+semiring("MAX_SECOND", "MAX", "SECOND", lambda a, b: F.max(b))
+semiring("MAX_FIRST", "MAX", "FIRST", lambda a, b: F.max(a))
+semiring("MAX_PLUS", "MAX", "PLUS", lambda a, b: F.max(a + b))
+semiring("MAX_TIMES", "MAX", "TIMES", lambda a, b: F.max(a * b))
+semiring(
+    "LOR_LAND",
+    "LOR",
+    "LAND",
+    lambda a, b: F.max((a.cast("boolean") & b.cast("boolean")).cast("int")).cast("boolean"),
+)
+semiring(
+    "PLUS_LAND",
+    "PLUS",
+    "LAND",
+    lambda a, b: F.sum((a.cast("boolean") & b.cast("boolean")).cast("long")),
+)
+semiring("ANY_PAIR", "ANY", "PAIR", lambda a, b: F.first(F.lit(1)))
+semiring("ANY_SECOND", "ANY", "SECOND", lambda a, b: F.first(b))
+
+
+# --------------------------------------------------------------------------
+# Select ops  (reference: pygraphblas/selectop.py:57-74)
+# --------------------------------------------------------------------------
+
+# Each select op is (src, dst, val, thunk) -> boolean Column.
+SELECT_OPS: dict[str, Callable] = {
+    "TRIL": lambda s, d, v, k: d <= s + k,
+    "TRIU": lambda s, d, v, k: d >= s + k,
+    "DIAG": lambda s, d, v, k: d == s + k,
+    "OFFDIAG": lambda s, d, v, k: d != s + k,
+    "NONZERO": lambda s, d, v, k: v != 0,
+    "EQ_ZERO": lambda s, d, v, k: v == 0,
+    "GT_ZERO": lambda s, d, v, k: v > 0,
+    "GE_ZERO": lambda s, d, v, k: v >= 0,
+    "LT_ZERO": lambda s, d, v, k: v < 0,
+    "LE_ZERO": lambda s, d, v, k: v <= 0,
+    "NE_THUNK": lambda s, d, v, k: v != k,
+    "EQ_THUNK": lambda s, d, v, k: v == k,
+    "GT_THUNK": lambda s, d, v, k: v > k,
+    "GE_THUNK": lambda s, d, v, k: v >= k,
+    "LT_THUNK": lambda s, d, v, k: v < k,
+    "LE_THUNK": lambda s, d, v, k: v <= k,
+}
+
+# Operator-symbol sugar used by Matrix.select / Vector.select, mirroring
+# the reference's string dispatch (matrix.py:2042-2140).
+SELECT_SYMBOLS = {
+    ">": "GT_THUNK",
+    "<": "LT_THUNK",
+    ">=": "GE_THUNK",
+    "<=": "LE_THUNK",
+    "!=": "NE_THUNK",
+    "==": "EQ_THUNK",
+    ">0": "GT_ZERO",
+    "<0": "LT_ZERO",
+    ">=0": "GE_ZERO",
+    "<=0": "LE_ZERO",
+    "!=0": "NONZERO",
+    "==0": "EQ_ZERO",
+}

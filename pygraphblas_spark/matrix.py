@@ -1,0 +1,994 @@
+"""Matrix: a sparse 2-D array as a COO DataFrame ``(src, dst, val)``.
+
+Facade mirroring the reference ``Matrix`` class (``pygraphblas/matrix.py:54``)
+— same method names and semantics, Spark-native execution. Immutable: every
+operation returns a new ``Matrix`` wrapping a new logical plan; ``out=`` /
+``accum=`` / ``mask=`` / ``desc=`` are honored by merging per the GraphBLAS
+write rule (see ``operators/core.finalize``).
+
+Sparsity semantics: absent rows are absent cells (interpreted as the
+semiring identity, never stored) — reference ``README.md:146-170``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pygraphblas_spark import gbtypes
+from pygraphblas_spark.algebra import (
+    SELECT_OPS,
+    SELECT_SYMBOLS,
+    BinaryOp,
+    Monoid,
+    Semiring,
+    UnaryOp,
+    binary_op,
+    monoid,
+    semiring,
+)
+from pygraphblas_spark.descriptor import Descriptor, NULL
+from pygraphblas_spark.operators import contraction, core
+
+VAL = core.VAL
+EDGE_SCHEMA_KEYS = ["src", "dst"]
+
+
+def _coerce_binop(op) -> BinaryOp:
+    return binary_op(op) if isinstance(op, str) else op
+
+
+def _coerce_monoid(m) -> Monoid:
+    return monoid(m) if isinstance(m, str) else m
+
+
+def _coerce_semiring(s) -> Semiring:
+    return semiring(s) if isinstance(s, str) else s
+
+
+class Matrix:
+    """Sparse matrix over an edge DataFrame with shape metadata.
+
+    ``df`` columns: ``src: long, dst: long, val: <typ>``.
+    """
+
+    def __init__(self, df: DataFrame, nrows: int, ncols: int, typ: str = "FP64"):
+        self.df = df
+        self.nrows = int(nrows)
+        self.ncols = int(ncols)
+        self.typ = typ.upper()
+
+    # ------------------------------------------------------------------
+    # Construction (reference matrix.py:120-651)
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def sparse(
+        cls, spark: SparkSession, typ: str, nrows: int, ncols: int
+    ) -> "Matrix":
+        """Empty matrix (reference ``Matrix.sparse`` matrix.py:120)."""
+        schema = T.StructType(
+            [
+                T.StructField("src", T.LongType()),
+                T.StructField("dst", T.LongType()),
+                T.StructField(VAL, gbtypes.spark_type(typ)),
+            ]
+        )
+        return cls(spark.createDataFrame([], schema), nrows, ncols, typ)
+
+    @classmethod
+    def dense(
+        cls, spark: SparkSession, typ: str, nrows: int, ncols: int, fill=None
+    ) -> "Matrix":
+        """All-cells-present matrix (reference matrix.py:183): range × range
+        cross join — no driver-side materialization."""
+        fill = gbtypes.default_zero(typ) if fill is None else fill
+        df = (
+            spark.range(nrows)
+            .select(F.col("id").alias("src"))
+            .crossJoin(spark.range(ncols).select(F.col("id").alias("dst")))
+            .select(
+                "src",
+                "dst",
+                F.lit(fill).cast(gbtypes.spark_type(typ)).alias(VAL),
+            )
+        )
+        return cls(df, nrows, ncols, typ)
+
+    @classmethod
+    def iso(cls, spark: SparkSession, value, nrows: int, ncols: int) -> "Matrix":
+        """Constant-valued dense matrix (reference matrix.py:234); the
+        constant folds into a ``lit`` column — Spark's analog of iso
+        storage is free."""
+        typ = gbtypes.from_python_value(value)
+        return cls.dense(spark, typ, nrows, ncols, fill=value)
+
+    @classmethod
+    def from_lists(
+        cls,
+        spark: SparkSession,
+        I: Sequence[int],
+        J: Sequence[int],
+        V: Union[Sequence, bool, int, float] = True,
+        nrows: Optional[int] = None,
+        ncols: Optional[int] = None,
+        typ: Optional[str] = None,
+    ) -> "Matrix":
+        """Build from index/value lists (reference matrix.py:269).
+
+        Duplicate (i, j) keeps the LAST value — the reference sets elements
+        in a loop (matrix.py:329-331), so later writes win; we replicate
+        with a positional last-write dedup.
+        """
+        if isinstance(V, (bool, int, float)):
+            V = [V] * len(I)
+        typ = typ or gbtypes.from_python_value(V[0] if V else True)
+        nrows = nrows if nrows is not None else (max(I) + 1 if I else 0)
+        ncols = ncols if ncols is not None else (max(J) + 1 if J else 0)
+        rows = [(int(i), int(j), v, pos) for pos, (i, j, v) in enumerate(zip(I, J, V))]
+        schema = T.StructType(
+            [
+                T.StructField("src", T.LongType()),
+                T.StructField("dst", T.LongType()),
+                T.StructField(VAL, gbtypes.spark_type(typ)),
+                T.StructField("__pos", T.LongType()),
+            ]
+        )
+        df = (
+            spark.createDataFrame(rows, schema)
+            .groupBy("src", "dst")
+            .agg(F.max_by(VAL, "__pos").alias(VAL))
+        )
+        return cls(df, nrows, ncols, typ)
+
+    @classmethod
+    def from_edge_df(
+        cls, df: DataFrame, nrows: int, ncols: int, typ: str = "FP64"
+    ) -> "Matrix":
+        """Wrap an existing edge DataFrame (our native ingestion path —
+        e.g. from sources.codegraph edge extraction)."""
+        return cls(df.select("src", "dst", VAL), nrows, ncols, typ)
+
+    @classmethod
+    def from_diag(cls, v: "Vector", k: int = 0) -> "Matrix":
+        """Diagonal matrix from a vector (reference matrix.py:334)."""
+        df = v.df.select(
+            F.col("id").alias("src"), (F.col("id") + k).alias("dst"), F.col(VAL)
+        )
+        n = v.size + abs(k)
+        return cls(df, n, n, v.typ)
+
+    @classmethod
+    def identity(
+        cls, spark: SparkSession, typ: str, nrows: int, value=None
+    ) -> "Matrix":
+        """I_n (reference matrix.py:574)."""
+        value = gbtypes.default_one(typ) if value is None else value
+        df = spark.range(nrows).select(
+            F.col("id").alias("src"),
+            F.col("id").alias("dst"),
+            F.lit(value).cast(gbtypes.spark_type(typ)).alias(VAL),
+        )
+        return cls(df, nrows, nrows, typ)
+
+    @classmethod
+    def random(
+        cls,
+        spark: SparkSession,
+        typ: str,
+        nvals: int,
+        nrows: int,
+        ncols: int,
+        seed: int = 42,
+        make_symmetric: bool = False,
+        no_diagonal: bool = False,
+    ) -> "Matrix":
+        """Deterministic pseudo-random matrix (reference matrix.py:500).
+
+        Hash-based generation from ``spark.range`` — fully distributed,
+        reproducible for any cluster size (no RNG state per partition).
+        """
+        h = lambda salt: F.abs(F.xxhash64(F.col("id"), F.lit(seed), F.lit(salt)))
+        df = spark.range(nvals).select(
+            (h("src") % nrows).alias("src"),
+            (h("dst") % ncols).alias("dst"),
+            (
+                (h("val") % 1000000).cast("double") / 1000000.0
+                if typ in ("FP32", "FP64")
+                else (h("val") % 100)
+            )
+            .cast(gbtypes.spark_type(typ))
+            .alias(VAL),
+        )
+        if no_diagonal:
+            df = df.filter(F.col("src") != F.col("dst"))
+        df = df.groupBy("src", "dst").agg(F.first(VAL).alias(VAL))
+        if make_symmetric:
+            rev = df.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), VAL
+            )
+            df = (
+                df.unionByName(rev)
+                .groupBy("src", "dst")
+                .agg(F.first(VAL).alias(VAL))
+            )
+        return cls(df, nrows, ncols, typ)
+
+    @classmethod
+    def from_csv(
+        cls,
+        spark: SparkSession,
+        path: str,
+        typ: str = "FP64",
+        nrows: Optional[int] = None,
+        ncols: Optional[int] = None,
+        sep: str = ",",
+        header: bool = False,
+    ) -> "Matrix":
+        """Edge-list CSV/TSV reader (reference from_tsv/from_csv
+        matrix.py:412-489). Shape inferred with one pass if not given."""
+        df = (
+            spark.read.option("sep", sep)
+            .option("header", str(header).lower())
+            .option("comment", "%")
+            .csv(path)
+        )
+        c = df.columns
+        df = df.select(
+            F.col(c[0]).cast("long").alias("src"),
+            F.col(c[1]).cast("long").alias("dst"),
+            (
+                F.col(c[2]).cast(gbtypes.spark_type(typ))
+                if len(c) > 2
+                else F.lit(gbtypes.default_one(typ)).cast(gbtypes.spark_type(typ))
+            ).alias(VAL),
+        )
+        if nrows is None or ncols is None:
+            mx = df.agg(F.max("src"), F.max("dst")).first()
+            nrows = nrows or (mx[0] or -1) + 1
+            ncols = ncols or (mx[1] or -1) + 1
+        return cls(df, nrows, ncols, typ)
+
+    @classmethod
+    def from_mm(cls, spark: SparkSession, path: str, typ: str = "FP64") -> "Matrix":
+        """Matrix Market reader (reference matrix.py:378): skip %-comments,
+        first data line is the header triple, indices are 1-based."""
+        raw = spark.read.text(path).filter(~F.col("value").startswith("%"))
+        first = raw.limit(1).collect()[0][0].split()
+        nrows, ncols = int(first[0]), int(first[1])
+        parts = F.split(F.trim(F.col("value")), r"\s+")
+        df = (
+            raw.withColumn("__rn", F.monotonically_increasing_id())
+            .filter(F.col("__rn") > 0)
+            .select(
+                (parts.getItem(0).cast("long") - 1).alias("src"),
+                (parts.getItem(1).cast("long") - 1).alias("dst"),
+                F.coalesce(
+                    parts.getItem(2).cast(gbtypes.spark_type(typ)),
+                    F.lit(gbtypes.default_one(typ)).cast(gbtypes.spark_type(typ)),
+                ).alias(VAL),
+            )
+        )
+        return cls(df, nrows, ncols, typ)
+
+    # -- checkpoints (reference binread/binwrite matrix.py:490,935: the
+    # SuiteSparse binary dump; ours is parquet, which is also the
+    # iteration checkpoint format) --
+
+    def binwrite(self, path: str) -> None:
+        self.df.write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def binread(
+        cls, spark: SparkSession, path: str, nrows: int, ncols: int, typ="FP64"
+    ) -> "Matrix":
+        return cls(spark.read.parquet(path), nrows, ncols, typ)
+
+    # ------------------------------------------------------------------
+    # Shape / cardinality properties (reference matrix.py:652-776)
+    # ------------------------------------------------------------------
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.nrows, self.ncols)
+
+    @property
+    def nvals(self) -> int:
+        """Stored-entry count — an action (reference matrix.py:670)."""
+        return self.df.count()
+
+    @property
+    def square(self) -> bool:
+        return self.nrows == self.ncols
+
+    @property
+    def T(self) -> "Matrix":
+        return self.transpose()
+
+    @property
+    def S(self) -> "Matrix":
+        """Structural pattern, type-BOOL one (reference .S matrix.py:733)."""
+        return self.pattern()
+
+    def dup(self) -> "Matrix":
+        """Copy (reference matrix.py:754) — DataFrames are immutable, so
+        this is a metadata copy."""
+        return Matrix(self.df, self.nrows, self.ncols, self.typ)
+
+    def clear(self) -> "Matrix":
+        return Matrix(self.df.limit(0), self.nrows, self.ncols, self.typ)
+
+    def resize(self, nrows: int, ncols: int) -> "Matrix":
+        """Grow/shrink; out-of-range entries dropped (reference matrix.py:978)."""
+        df = self.df
+        if nrows < self.nrows or ncols < self.ncols:
+            df = df.filter((F.col("src") < nrows) & (F.col("dst") < ncols))
+        return Matrix(df, nrows, ncols, self.typ)
+
+    # ------------------------------------------------------------------
+    # Projections: transpose / pattern / cast / apply (reference §2.4)
+    # ------------------------------------------------------------------
+
+    def transpose(self, desc: Descriptor = NULL) -> "Matrix":
+        """Column swap — zero-cost relabel (reference matrix.py:1003)."""
+        if desc.transpose0:
+            # transposing the transpose: identity (reference cast trick)
+            return self.dup()
+        df = self.df.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), F.col(VAL)
+        )
+        return Matrix(df, self.ncols, self.nrows, self.typ)
+
+    def pattern(self, typ: str = "BOOL") -> "Matrix":
+        """Structure with type-one values (reference matrix.py:887)."""
+        one = gbtypes.default_one(typ)
+        df = self.df.select(
+            "src", "dst", F.lit(one).cast(gbtypes.spark_type(typ)).alias(VAL)
+        )
+        return Matrix(df, self.nrows, self.ncols, typ)
+
+    def cast(self, typ: str) -> "Matrix":
+        """Type conversion (reference matrix.py:1063)."""
+        df = self.df.withColumn(VAL, F.col(VAL).cast(gbtypes.spark_type(typ)))
+        return Matrix(df, self.nrows, self.ncols, typ)
+
+    def apply(
+        self,
+        op: Union[UnaryOp, str],
+        out: Optional["Matrix"] = None,
+        mask: Optional["Matrix"] = None,
+        accum: Optional[BinaryOp] = None,
+        desc: Descriptor = NULL,
+    ) -> "Matrix":
+        """Unary op on every stored value (reference matrix.py:1934) —
+        pure projection, no shuffle."""
+        from pygraphblas_spark.algebra import unary_op
+
+        op = unary_op(op) if isinstance(op, str) else op
+        if op.positional:
+            val = op(F.col(VAL), F.col("src"), F.col("dst"))
+        else:
+            val = op(F.col(VAL))
+        new = self.df.select("src", "dst", val.alias(VAL))
+        return self._finalized(new, out, mask, accum, desc)
+
+    def apply_first(self, scalar, op: Union[BinaryOp, str], **kw) -> "Matrix":
+        """Binary op with scalar bound on the left (reference matrix.py:1965)."""
+        op = _coerce_binop(op)
+        new = self.df.select("src", "dst", op(F.lit(scalar), F.col(VAL)).alias(VAL))
+        return self._finalized(new, kw.get("out"), kw.get("mask"), kw.get("accum"), kw.get("desc", NULL))
+
+    def apply_second(self, op: Union[BinaryOp, str], scalar, **kw) -> "Matrix":
+        """Binary op with scalar bound on the right (reference matrix.py:2007)."""
+        op = _coerce_binop(op)
+        new = self.df.select("src", "dst", op(F.col(VAL), F.lit(scalar)).alias(VAL))
+        return self._finalized(new, kw.get("out"), kw.get("mask"), kw.get("accum"), kw.get("desc", NULL))
+
+    # ------------------------------------------------------------------
+    # Element-wise (reference §2.3)
+    # ------------------------------------------------------------------
+
+    def eadd(
+        self,
+        other: "Matrix",
+        add_op: Union[BinaryOp, str] = "PLUS",
+        out: Optional["Matrix"] = None,
+        mask: Optional["Matrix"] = None,
+        accum: Optional[BinaryOp] = None,
+        desc: Descriptor = NULL,
+    ) -> "Matrix":
+        """Set-union element-wise op (reference matrix.py:1103)."""
+        a, b = self.df, other.df
+        if desc.transpose0:
+            a = contraction._oriented(a, True)
+        if desc.transpose1:
+            b = contraction._oriented(b, True)
+        new = core.ewise_add(a, b, EDGE_SCHEMA_KEYS, _coerce_binop(add_op))
+        res = self._finalized(new, out, mask, accum, desc)
+        res.typ = gbtypes.promote(self.typ, other.typ)
+        return res
+
+    union = eadd  # reference alias matrix.py:1264
+
+    def emult(
+        self,
+        other: "Matrix",
+        mult_op: Union[BinaryOp, str] = "TIMES",
+        out: Optional["Matrix"] = None,
+        mask: Optional["Matrix"] = None,
+        accum: Optional[BinaryOp] = None,
+        desc: Descriptor = NULL,
+    ) -> "Matrix":
+        """Set-intersection element-wise op (reference matrix.py:1266)."""
+        a, b = self.df, other.df
+        if desc.transpose0:
+            a = contraction._oriented(a, True)
+        if desc.transpose1:
+            b = contraction._oriented(b, True)
+        new = core.ewise_mult(a, b, EDGE_SCHEMA_KEYS, _coerce_binop(mult_op))
+        res = self._finalized(new, out, mask, accum, desc)
+        res.typ = gbtypes.promote(self.typ, other.typ)
+        return res
+
+    intersection = emult  # reference alias matrix.py:1415
+
+    # ------------------------------------------------------------------
+    # Contraction (reference §2.2)
+    # ------------------------------------------------------------------
+
+    def mxm(
+        self,
+        other: "Matrix",
+        semiring: Union[Semiring, str, None] = None,
+        cast: Optional[str] = None,
+        out: Optional["Matrix"] = None,
+        mask: Optional["Matrix"] = None,
+        accum: Optional[BinaryOp] = None,
+        desc: Descriptor = NULL,
+    ) -> "Matrix":
+        """Semiring matrix multiply (reference matrix.py:2401)."""
+        sr = self._default_semiring(other, semiring)
+        new = contraction.mxm(
+            self.df,
+            other.df,
+            sr,
+            mask=mask.df if mask is not None else None,
+            accum=_coerce_binop(accum) if accum else None,
+            desc=desc,
+            out=out.df if out is not None else None,
+        )
+        nrows = self.ncols if desc.transpose0 else self.nrows
+        ncols = other.nrows if desc.transpose1 else other.ncols
+        typ = cast or gbtypes.promote(self.typ, other.typ)
+        return Matrix(new, nrows, ncols, typ)
+
+    def mxv(
+        self,
+        vector: "Vector",
+        semiring: Union[Semiring, str, None] = None,
+        out: Optional["Vector"] = None,
+        mask: Optional["Vector"] = None,
+        accum: Optional[BinaryOp] = None,
+        desc: Descriptor = NULL,
+        broadcast_vector: bool = False,
+    ) -> "Vector":
+        """SpMV (reference matrix.py:2586); PageRank's inner step."""
+        from pygraphblas_spark.vector import Vector
+
+        sr = self._default_semiring(vector, semiring)
+        new = contraction.mxv(
+            self.df,
+            vector.df,
+            sr,
+            mask=mask.df if mask is not None else None,
+            accum=_coerce_binop(accum) if accum else None,
+            desc=desc,
+            out=out.df if out is not None else None,
+            broadcast_vector=broadcast_vector,
+        )
+        size = self.ncols if desc.transpose0 else self.nrows
+        return Vector(new, size, gbtypes.promote(self.typ, vector.typ))
+
+    def __matmul__(self, other):
+        from pygraphblas_spark.vector import Vector
+
+        if isinstance(other, Vector):
+            return self.mxv(other)
+        return self.mxm(other)
+
+    def kronecker(
+        self, other: "Matrix", op: Union[BinaryOp, str] = "TIMES"
+    ) -> "Matrix":
+        """Kronecker product (reference matrix.py:2739)."""
+        op = _coerce_binop(op)
+        a = self.df.select(
+            F.col("src").alias("__ai"), F.col("dst").alias("__aj"), F.col(VAL).alias("__a")
+        )
+        b = other.df.select(
+            F.col("src").alias("__bi"), F.col("dst").alias("__bj"), F.col(VAL).alias("__b")
+        )
+        df = a.crossJoin(b).select(
+            (F.col("__ai") * other.nrows + F.col("__bi")).alias("src"),
+            (F.col("__aj") * other.ncols + F.col("__bj")).alias("dst"),
+            op(F.col("__a"), F.col("__b")).alias(VAL),
+        )
+        return Matrix(
+            df,
+            self.nrows * other.nrows,
+            self.ncols * other.ncols,
+            gbtypes.promote(self.typ, other.typ),
+        )
+
+    def kronpow(self, exponent: int) -> "Matrix":
+        """Repeated self-Kronecker — deterministic scale-free (RMAT-like)
+        graph generator (reference matrix.py:1732, Sierpinski demo)."""
+        if exponent == 0:
+            return Matrix.identity(self.df.sparkSession, self.typ, self.nrows)
+        m = self
+        for _ in range(exponent - 1):
+            m = m.kronecker(self, "TIMES")
+        return m
+
+    def __pow__(self, exponent: int) -> "Matrix":
+        """Repeated mxm (reference matrix.py:1722)."""
+        if exponent == 0:
+            return Matrix.identity(self.df.sparkSession, self.typ, self.nrows)
+        m = self
+        for _ in range(exponent - 1):
+            m = m.mxm(self)
+        return m
+
+    # ------------------------------------------------------------------
+    # Selection (reference §2.5)
+    # ------------------------------------------------------------------
+
+    def select(self, op: str, thunk=None) -> "Matrix":
+        """Predicate select (reference matrix.py:2042). ``op`` is a
+        registered SelectOp name, an operator symbol ('>', '!=0', ...),
+        or 'min'/'max' (keep only cells equal to the global extremum —
+        reference matrix.py:2112-2118)."""
+        key = op.upper() if op.upper() in SELECT_OPS else SELECT_SYMBOLS.get(op)
+        if op in ("min", "max"):
+            aggv = self.df.agg(
+                (F.min(VAL) if op == "min" else F.max(VAL)).alias("__m")
+            )
+            df = self.df.join(F.broadcast(aggv)).filter(
+                F.col(VAL) == F.col("__m")
+            ).drop("__m")
+            return Matrix(df, self.nrows, self.ncols, self.typ)
+        if key is None:
+            raise KeyError(f"unknown select op {op!r}")
+        pred = SELECT_OPS[key](
+            F.col("src"), F.col("dst"), F.col(VAL), F.lit(thunk if thunk is not None else 0)
+        )
+        return Matrix(self.df.filter(pred), self.nrows, self.ncols, self.typ)
+
+    def tril(self, offset: int = 0) -> "Matrix":
+        """Lower triangle (reference matrix.py:2142) — the triangle-count
+        workhorse; pure index predicate, pushed to the scan."""
+        return Matrix(
+            self.df.filter(F.col("dst") <= F.col("src") + offset),
+            self.nrows,
+            self.ncols,
+            self.typ,
+        )
+
+    def triu(self, offset: int = 0) -> "Matrix":
+        return Matrix(
+            self.df.filter(F.col("dst") >= F.col("src") + offset),
+            self.nrows,
+            self.ncols,
+            self.typ,
+        )
+
+    def diag(self, offset: int = 0) -> "Matrix":
+        return Matrix(
+            self.df.filter(F.col("dst") == F.col("src") + offset),
+            self.nrows,
+            self.ncols,
+            self.typ,
+        )
+
+    def offdiag(self, offset: int = 0) -> "Matrix":
+        return Matrix(
+            self.df.filter(F.col("dst") != F.col("src") + offset),
+            self.nrows,
+            self.ncols,
+            self.typ,
+        )
+
+    def nonzero(self) -> "Matrix":
+        return Matrix(
+            self.df.filter(F.col(VAL) != 0), self.nrows, self.ncols, self.typ
+        )
+
+    def vector_diag(self, k: int = 0):
+        """k-diagonal as a Vector (reference matrix.py:2232)."""
+        from pygraphblas_spark.vector import Vector
+
+        df = self.df.filter(F.col("dst") == F.col("src") + k).select(
+            F.col("src").alias("id"), F.col(VAL)
+        )
+        return Vector(df, min(self.nrows, self.ncols), self.typ)
+
+    # ------------------------------------------------------------------
+    # Reductions (reference §2.6)
+    # ------------------------------------------------------------------
+
+    def reduce(self, mon: Union[Monoid, str] = "PLUS"):
+        """Full reduce to a Python scalar — an action (reference
+        matrix.py:1828). Spark gives partial (map-side) + final agg."""
+        mon = _coerce_monoid(mon)
+        row = self.df.agg(mon(F.col(VAL)).alias("__r")).first()
+        return row["__r"]
+
+    def reduce_bool(self) -> bool:
+        return bool(self.reduce("LOR"))
+
+    def reduce_int(self) -> int:
+        r = self.reduce("PLUS")
+        return int(r) if r is not None else 0
+
+    def reduce_float(self) -> float:
+        r = self.reduce("PLUS")
+        return float(r) if r is not None else 0.0
+
+    def reduce_vector(
+        self,
+        mon: Union[Monoid, str] = "PLUS",
+        out=None,
+        mask=None,
+        accum=None,
+        desc: Descriptor = NULL,
+    ):
+        """Row-wise reduce to a Vector (reference matrix.py:1861); with
+        desc=T0 reduces column-wise. Computes out-degree/in-degree vectors
+        for PageRank (gap/prmark.py:54)."""
+        from pygraphblas_spark.vector import Vector
+
+        mon = _coerce_monoid(mon)
+        key = "dst" if desc.transpose0 else "src"
+        new = self.df.groupBy(F.col(key).alias("id")).agg(mon(F.col(VAL)).alias(VAL))
+        merged = core.finalize(
+            out.df if out is not None else None,
+            new,
+            ["id"],
+            mask.df if mask is not None else None,
+            _coerce_binop(accum) if accum else None,
+            desc,
+        )
+        size = self.ncols if desc.transpose0 else self.nrows
+        return Vector(merged, size, self.typ)
+
+    def out_degree(self):
+        """Row degree vector (reference matrix.py:3548, PLUS_PAIR trick →
+        here a simple count agg)."""
+        from pygraphblas_spark.vector import Vector
+
+        df = self.df.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias(VAL)
+        )
+        return Vector(df, self.nrows, "INT64")
+
+    def gini(self) -> float:
+        """Degree-distribution Gini coefficient (reference matrix.py:3560).
+        Distributed rank computation; only two scalar aggregates hit the
+        driver."""
+        from pyspark.sql import Window
+
+        deg = self.df.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
+        w = Window.orderBy("d")
+        ranked = deg.withColumn("i", F.row_number().over(w))
+        n, s, si = (
+            ranked.agg(
+                F.count("d"), F.sum("d"), F.sum(F.col("i") * F.col("d"))
+            ).first()
+        )
+        return float((2.0 * si) / (n * s) - (n + 1.0) / n)
+
+    # ------------------------------------------------------------------
+    # Extract / assign (reference §2.7)
+    # ------------------------------------------------------------------
+
+    def extract_matrix(
+        self,
+        rows: Union[slice, Sequence[int], int, None] = None,
+        cols: Union[slice, Sequence[int], int, None] = None,
+    ) -> "Matrix":
+        """Submatrix by ranges/lists with index remap (reference
+        matrix.py:2807). Slice bounds become scan-pushable predicates;
+        explicit lists become a broadcast position-map join."""
+        df = self.df
+        spark = df.sparkSession
+
+        def one_dim(df, colname, sel, dim):
+            if sel is None or (isinstance(sel, slice) and sel == slice(None)):
+                return df, dim, F.col(colname)
+            if isinstance(sel, slice):
+                start = sel.start or 0
+                stop = dim - 1 if sel.stop is None else sel.stop  # GraphBLAS slices are INCLUSIVE
+                df = df.filter(F.col(colname).between(start, stop))
+                return df, stop - start + 1, F.col(colname) - start
+            # explicit index list: remap to positions
+            idx = list(sel)
+            map_df = F.broadcast(
+                spark.createDataFrame(
+                    [(int(v), p) for p, v in enumerate(idx)],
+                    f"{colname} long, __pos_{colname} long",
+                )
+            )
+            df = df.join(map_df, on=colname, how="inner")
+            return df, len(idx), F.col(f"__pos_{colname}")
+
+        df, nr, src_expr = one_dim(df, "src", rows, self.nrows)
+        df, nc, dst_expr = one_dim(df, "dst", cols, self.ncols)
+        df = df.select(src_expr.alias("src"), dst_expr.alias("dst"), F.col(VAL))
+        return Matrix(df, nr, nc, self.typ)
+
+    def extract_row(self, i: int):
+        """Row i as a Vector (reference matrix.py:2943)."""
+        from pygraphblas_spark.vector import Vector
+
+        df = self.df.filter(F.col("src") == i).select(
+            F.col("dst").alias("id"), F.col(VAL)
+        )
+        return Vector(df, self.ncols, self.typ)
+
+    def extract_col(self, j: int):
+        from pygraphblas_spark.vector import Vector
+
+        df = self.df.filter(F.col("dst") == j).select(
+            F.col("src").alias("id"), F.col(VAL)
+        )
+        return Vector(df, self.nrows, self.typ)
+
+    def extract_element(self, i: int, j: int):
+        row = self.df.filter((F.col("src") == i) & (F.col("dst") == j)).first()
+        return None if row is None else row[VAL]
+
+    def __getitem__(self, index):
+        """Index dispatch (reference matrix.py:2967): A[i] row, A[i,j]
+        element, A[i,:] / A[:,j] / A[m:n,p:q] slices, A[list,list]."""
+        if isinstance(index, int):
+            return self.extract_row(index)
+        if isinstance(index, slice):
+            return self.extract_matrix(index, None)
+        if isinstance(index, tuple) and len(index) == 2:
+            i, j = index
+            if isinstance(i, int) and isinstance(j, int):
+                return self.extract_element(i, j)
+            if isinstance(i, int):
+                return self.extract_row(i) if j == slice(None) else self.extract_matrix([i], j)
+            if isinstance(j, int):
+                return self.extract_col(j) if i == slice(None) else self.extract_matrix(i, [j])
+            return self.extract_matrix(i, j)
+        raise TypeError(f"bad index {index!r}")
+
+    def assign_scalar(
+        self,
+        value,
+        rows=None,
+        cols=None,
+        mask: Optional["Matrix"] = None,
+        accum=None,
+        desc: Descriptor = NULL,
+    ) -> "Matrix":
+        """Masked/ranged scalar assign (reference matrix.py:3106):
+        the target region (mask keys, or the row/col rectangle) gets
+        ``value``; everything else unchanged."""
+        spark = self.df.sparkSession
+        typ_col = F.lit(value).cast(gbtypes.spark_type(self.typ))
+        if mask is not None:
+            target = core._truthy_mask(mask.df, desc.mask_structural).select(
+                "src", "dst", typ_col.alias(VAL)
+            )
+        else:
+            r0, r1 = _slice_bounds(rows, self.nrows)
+            c0, c1 = _slice_bounds(cols, self.ncols)
+            target = (
+                spark.range(r0, r1 + 1)
+                .select(F.col("id").alias("src"))
+                .crossJoin(spark.range(c0, c1 + 1).select(F.col("id").alias("dst")))
+                .select("src", "dst", typ_col.alias(VAL))
+            )
+        merged = core.finalize(
+            self.df,
+            target,
+            EDGE_SCHEMA_KEYS,
+            None,
+            _coerce_binop(accum) if accum else None,
+            desc,
+        )
+        if accum is None:
+            # plain assign: new value wins over old in the target region,
+            # old survives elsewhere — upsert.
+            old_rest = self.df.join(
+                target.select("src", "dst"), on=EDGE_SCHEMA_KEYS, how="left_anti"
+            )
+            merged = target.unionByName(old_rest)
+        return Matrix(merged, self.nrows, self.ncols, self.typ)
+
+    def assign_matrix(
+        self, other: "Matrix", rows=None, cols=None, accum=None
+    ) -> "Matrix":
+        """Submatrix upsert (reference matrix.py:3057)."""
+        r0, _ = _slice_bounds(rows, self.nrows)
+        c0, _ = _slice_bounds(cols, self.ncols)
+        shifted = other.df.select(
+            (F.col("src") + r0).alias("src"),
+            (F.col("dst") + c0).alias("dst"),
+            F.col(VAL).cast(gbtypes.spark_type(self.typ)),
+        )
+        if accum is not None:
+            merged = core.ewise_add(
+                self.df, shifted, EDGE_SCHEMA_KEYS, _coerce_binop(accum)
+            )
+        else:
+            old_rest = self.df.join(
+                shifted.select("src", "dst"), on=EDGE_SCHEMA_KEYS, how="left_anti"
+            )
+            merged = shifted.unionByName(old_rest)
+        return Matrix(merged, self.nrows, self.ncols, self.typ)
+
+    def set_element(self, i: int, j: int, v) -> "Matrix":
+        spark = self.df.sparkSession
+        one = spark.createDataFrame(
+            [(int(i), int(j), v)],
+            T.StructType(
+                [
+                    T.StructField("src", T.LongType()),
+                    T.StructField("dst", T.LongType()),
+                    T.StructField(VAL, gbtypes.spark_type(self.typ)),
+                ]
+            ),
+        )
+        rest = self.df.filter(~((F.col("src") == i) & (F.col("dst") == j)))
+        return Matrix(rest.unionByName(one), self.nrows, self.ncols, self.typ)
+
+    def del_element(self, i: int, j: int) -> "Matrix":
+        return Matrix(
+            self.df.filter(~((F.col("src") == i) & (F.col("dst") == j))),
+            self.nrows,
+            self.ncols,
+            self.typ,
+        )
+
+    # ------------------------------------------------------------------
+    # Comparison / equality (reference matrix.py:2323-2457)
+    # ------------------------------------------------------------------
+
+    def iseq(self, other: "Matrix") -> bool:
+        """Shape + pattern + values equality (reference matrix.py:1436)."""
+        if self.shape != other.shape:
+            return False
+        return core.coo_equal(self.df, other.df, EDGE_SCHEMA_KEYS)
+
+    def isne(self, other: "Matrix") -> bool:
+        return not self.iseq(other)
+
+    # operator sugar (reference matrix.py:64-90, 1625-1711)
+    def __add__(self, other):
+        return self._scalar_or_ewise(other, "PLUS", ewise="eadd")
+
+    def __sub__(self, other):
+        return self._scalar_or_ewise(other, "MINUS", ewise="eadd")
+
+    def __mul__(self, other):
+        return self._scalar_or_ewise(other, "TIMES", ewise="emult")
+
+    def __truediv__(self, other):
+        return self._scalar_or_ewise(other, "DIV", ewise="emult")
+
+    def __or__(self, other):
+        return self.eadd(other, "SECOND")
+
+    def __and__(self, other):
+        return self.emult(other, "SECOND")
+
+    def __invert__(self):
+        # Reference ~M is logical-not on BOOL, multiplicative inverse 1/x
+        # on numeric types (tests/test_matrix.py:651-654: ~[0,1,2] FP64 →
+        # [inf, 1.0, 0.5]).
+        return self.apply("LNOT" if self.typ == "BOOL" else "MINV")
+
+    def __neg__(self):
+        return self.apply("AINV")
+
+    def abs(self) -> "Matrix":
+        return self.apply("ABS")
+
+    __abs__ = abs
+
+    def _scalar_or_ewise(self, other, opname, ewise):
+        if isinstance(other, Matrix):
+            return getattr(self, ewise)(other, opname)
+        return self.apply_second(opname, other)
+
+    # ------------------------------------------------------------------
+    # Sinks (reference matrix.py:944-1492, 3355-3536)
+    # ------------------------------------------------------------------
+
+    def to_lists(self) -> list[list]:
+        """[I, J, V] sorted — an action (reference matrix.py:944)."""
+        rows = self.df.orderBy("src", "dst").collect()
+        return [
+            [r["src"] for r in rows],
+            [r["dst"] for r in rows],
+            [r[VAL] for r in rows],
+        ]
+
+    def to_arrays(self):
+        """numpy (I, J, V) via Arrow (reference to_arrays matrix.py:1475 /
+        npI/npJ/npV matrix.py:1522)."""
+        pdf = self.df.orderBy("src", "dst").toPandas()
+        return pdf["src"].to_numpy(), pdf["dst"].to_numpy(), pdf[VAL].to_numpy()
+
+    def to_scipy_sparse(self):
+        """scipy COO (reference matrix.py:3516) — small graphs only."""
+        import scipy.sparse as sp
+
+        i, j, v = self.to_arrays()
+        return sp.coo_matrix((v, (i, j)), shape=self.shape)
+
+    def to_numpy(self):
+        import numpy as np
+
+        i, j, v = self.to_arrays()
+        dtype = "float64" if self.typ in ("FP32", "FP64") else "int64"
+        out = np.zeros(self.shape, dtype=dtype)
+        if len(i):
+            out[i, j] = v
+        return out
+
+    def to_dict(self) -> dict:
+        return {(r["src"], r["dst"]): r[VAL] for r in self.df.collect()}
+
+    def __iter__(self):
+        for r in self.df.toLocalIterator():
+            yield (r["src"], r["dst"], r[VAL])
+
+    def __len__(self):
+        return self.nvals
+
+    def __repr__(self):
+        return f"<Matrix {self.typ} {self.nrows}x{self.ncols}>"
+
+    # ------------------------------------------------------------------
+    # Internals
+    # ------------------------------------------------------------------
+
+    def _finalized(self, new_df, out, mask, accum, desc) -> "Matrix":
+        desc = desc or NULL
+        merged = core.finalize(
+            out.df if out is not None else None,
+            new_df,
+            EDGE_SCHEMA_KEYS,
+            mask.df if mask is not None else None,
+            _coerce_binop(accum) if accum else None,
+            desc,
+        )
+        return Matrix(merged, self.nrows, self.ncols, self.typ)
+
+    def _default_semiring(self, other, sr):
+        """Resolve semiring: explicit → type default (reference
+        matrix.py:2553-2568; defaults types.py:149-158, BOOL→LOR_LAND
+        types.py:190-200)."""
+        if sr is not None:
+            return _coerce_semiring(sr)
+        t = gbtypes.promote(self.typ, other.typ)
+        return semiring("LOR_LAND" if t == "BOOL" else "PLUS_TIMES")
+
+
+def _slice_bounds(sel, dim: int) -> tuple[int, int]:
+    """GraphBLAS slices are INCLUSIVE of the stop index (reference
+    _build_range base.py:216-250)."""
+    if sel is None:
+        return 0, dim - 1
+    if isinstance(sel, int):
+        return sel, sel
+    if isinstance(sel, slice):
+        return sel.start or 0, (dim - 1 if sel.stop is None else sel.stop)
+    raise TypeError(f"bad range {sel!r}")

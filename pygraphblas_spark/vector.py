@@ -1,0 +1,466 @@
+"""Vector: a sparse 1-D array as a DataFrame ``(id, val)``.
+
+Facade mirroring the reference ``Vector`` (``pygraphblas/vector.py:37``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pygraphblas_spark import gbtypes
+from pygraphblas_spark.algebra import (
+    SELECT_OPS,
+    SELECT_SYMBOLS,
+    BinaryOp,
+    Monoid,
+    Semiring,
+    UnaryOp,
+    binary_op,
+    monoid,
+    semiring,
+    unary_op,
+)
+from pygraphblas_spark.descriptor import Descriptor, NULL
+from pygraphblas_spark.operators import contraction, core
+
+VAL = core.VAL
+KEYS = ["id"]
+
+
+def _coerce_binop(op):
+    return binary_op(op) if isinstance(op, str) else op
+
+
+def _coerce_monoid(m):
+    return monoid(m) if isinstance(m, str) else m
+
+
+class Vector:
+    """Sparse vector over a DataFrame ``(id: long, val: T)``."""
+
+    def __init__(self, df: DataFrame, size: int, typ: str = "FP64"):
+        self.df = df
+        self.size = int(size)
+        self.typ = typ.upper()
+
+    # -- construction (reference vector.py:251-481) --
+
+    @classmethod
+    def sparse(cls, spark: SparkSession, typ: str, size: int) -> "Vector":
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField(VAL, gbtypes.spark_type(typ)),
+            ]
+        )
+        return cls(spark.createDataFrame([], schema), size, typ)
+
+    @classmethod
+    def dense(cls, spark: SparkSession, typ: str, size: int, fill=None) -> "Vector":
+        """Distributed fill via spark.range (reference vector.py:450)."""
+        fill = gbtypes.default_zero(typ) if fill is None else fill
+        df = spark.range(size).select(
+            F.col("id"), F.lit(fill).cast(gbtypes.spark_type(typ)).alias(VAL)
+        )
+        return cls(df, size, typ)
+
+    @classmethod
+    def iso(cls, spark: SparkSession, value, size: int) -> "Vector":
+        return cls.dense(spark, gbtypes.from_python_value(value), size, fill=value)
+
+    @classmethod
+    def from_lists(
+        cls,
+        spark: SparkSession,
+        I: Sequence[int],
+        V: Union[Sequence, bool, int, float] = True,
+        size: Optional[int] = None,
+        typ: Optional[str] = None,
+    ) -> "Vector":
+        """Last-write-wins on duplicate ids, like the reference's
+        per-element construction loop (vector.py:331)."""
+        if isinstance(V, (bool, int, float)):
+            V = [V] * len(I)
+        typ = typ or gbtypes.from_python_value(V[0] if V else True)
+        size = size if size is not None else (max(I) + 1 if I else 0)
+        rows = [(int(i), v, p) for p, (i, v) in enumerate(zip(I, V))]
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField(VAL, gbtypes.spark_type(typ)),
+                T.StructField("__pos", T.LongType()),
+            ]
+        )
+        df = (
+            spark.createDataFrame(rows, schema)
+            .groupBy("id")
+            .agg(F.max_by(VAL, "__pos").alias(VAL))
+        )
+        return cls(df, size, typ)
+
+    @classmethod
+    def from_1_to_n(cls, spark: SparkSession, n: int) -> "Vector":
+        """[1..n] (reference vector.py:370)."""
+        df = spark.range(n).select(F.col("id"), (F.col("id") + 1).alias(VAL))
+        return cls(df, n, "INT64")
+
+    # -- properties --
+
+    @property
+    def nvals(self) -> int:
+        return self.df.count()
+
+    @property
+    def S(self) -> "Vector":
+        return self.pattern()
+
+    def dup(self) -> "Vector":
+        return Vector(self.df, self.size, self.typ)
+
+    def clear(self) -> "Vector":
+        return Vector(self.df.limit(0), self.size, self.typ)
+
+    def resize(self, size: int) -> "Vector":
+        df = self.df
+        if size < self.size:
+            df = df.filter(F.col("id") < size)
+        return Vector(df, size, self.typ)
+
+    def pattern(self, typ: str = "BOOL") -> "Vector":
+        one = gbtypes.default_one(typ)
+        return Vector(
+            self.df.select("id", F.lit(one).cast(gbtypes.spark_type(typ)).alias(VAL)),
+            self.size,
+            typ,
+        )
+
+    def cast(self, typ: str) -> "Vector":
+        return Vector(
+            self.df.withColumn(VAL, F.col(VAL).cast(gbtypes.spark_type(typ))),
+            self.size,
+            typ,
+        )
+
+    # -- apply (reference vector.py:1262-1352) --
+
+    def apply(self, op: Union[UnaryOp, str], **kw) -> "Vector":
+        op = unary_op(op) if isinstance(op, str) else op
+        new = self.df.select("id", op(F.col(VAL)).alias(VAL))
+        return self._finalized(new, kw.get("out"), kw.get("mask"), kw.get("accum"), kw.get("desc", NULL))
+
+    def apply_first(self, scalar, op, **kw) -> "Vector":
+        op = _coerce_binop(op)
+        new = self.df.select("id", op(F.lit(scalar), F.col(VAL)).alias(VAL))
+        return self._finalized(new, kw.get("out"), kw.get("mask"), kw.get("accum"), kw.get("desc", NULL))
+
+    def apply_second(self, op, scalar, **kw) -> "Vector":
+        op = _coerce_binop(op)
+        new = self.df.select("id", op(F.col(VAL), F.lit(scalar)).alias(VAL))
+        return self._finalized(new, kw.get("out"), kw.get("mask"), kw.get("accum"), kw.get("desc", NULL))
+
+    def abs(self) -> "Vector":
+        return self.apply("ABS")
+
+    __abs__ = abs
+
+    # -- element-wise (reference vector.py:604-832) --
+
+    def eadd(
+        self,
+        other: "Vector",
+        add_op: Union[BinaryOp, str] = "PLUS",
+        out: Optional["Vector"] = None,
+        mask: Optional["Vector"] = None,
+        accum=None,
+        desc: Descriptor = NULL,
+    ) -> "Vector":
+        new = core.ewise_add(self.df, other.df, KEYS, _coerce_binop(add_op))
+        res = self._finalized(new, out, mask, accum, desc)
+        res.typ = gbtypes.promote(self.typ, other.typ)
+        return res
+
+    union = eadd
+
+    def emult(
+        self,
+        other: "Vector",
+        mult_op: Union[BinaryOp, str] = "TIMES",
+        out: Optional["Vector"] = None,
+        mask: Optional["Vector"] = None,
+        accum=None,
+        desc: Descriptor = NULL,
+    ) -> "Vector":
+        new = core.ewise_mult(self.df, other.df, KEYS, _coerce_binop(mult_op))
+        res = self._finalized(new, out, mask, accum, desc)
+        res.typ = gbtypes.promote(self.typ, other.typ)
+        return res
+
+    intersection = emult
+
+    # -- contraction (reference vector.py:835-977) --
+
+    def vxm(
+        self,
+        matrix,
+        semiring: Union[Semiring, str, None] = None,
+        out: Optional["Vector"] = None,
+        mask: Optional["Vector"] = None,
+        accum=None,
+        desc: Descriptor = NULL,
+        broadcast_vector: bool = False,
+    ) -> "Vector":
+        """v ⊗.⊕ A (reference vector.py:835)."""
+        if semiring is None:
+            sr = self._default_semiring(matrix)
+        elif isinstance(semiring, str):
+            from pygraphblas_spark.algebra import semiring as _lookup
+
+            sr = _lookup(semiring)
+        else:
+            sr = semiring
+        new = contraction.vxm(
+            self.df,
+            matrix.df,
+            sr,
+            mask=mask.df if mask is not None else None,
+            accum=_coerce_binop(accum) if accum else None,
+            desc=desc,
+            out=out.df if out is not None else None,
+            broadcast_vector=broadcast_vector,
+        )
+        size = matrix.nrows if desc.transpose1 else matrix.ncols
+        return Vector(new, size, gbtypes.promote(self.typ, matrix.typ))
+
+    def __matmul__(self, matrix):
+        return self.vxm(matrix)
+
+    def _default_semiring(self, other):
+        t = gbtypes.promote(self.typ, other.typ)
+        return semiring("LOR_LAND" if t == "BOOL" else "PLUS_TIMES")
+
+    # -- select (reference vector.py:1354-1428) --
+
+    def select(self, op: str, thunk=None) -> "Vector":
+        key = op.upper() if op.upper() in SELECT_OPS else SELECT_SYMBOLS.get(op)
+        if op in ("min", "max"):
+            aggv = self.df.agg(
+                (F.min(VAL) if op == "min" else F.max(VAL)).alias("__m")
+            )
+            df = (
+                self.df.join(F.broadcast(aggv))
+                .filter(F.col(VAL) == F.col("__m"))
+                .drop("__m")
+            )
+            return Vector(df, self.size, self.typ)
+        if key is None:
+            raise KeyError(f"unknown select op {op!r}")
+        pred = SELECT_OPS[key](
+            F.col("id"), F.col("id"), F.col(VAL), F.lit(thunk if thunk is not None else 0)
+        )
+        return Vector(self.df.filter(pred), self.size, self.typ)
+
+    def nonzero(self) -> "Vector":
+        return Vector(self.df.filter(F.col(VAL) != 0), self.size, self.typ)
+
+    # -- reduce (reference vector.py:1101-1260) --
+
+    def reduce(self, mon: Union[Monoid, str] = "PLUS"):
+        mon = _coerce_monoid(mon)
+        row = self.df.agg(mon(F.col(VAL)).alias("__r")).first()
+        return row["__r"]
+
+    def reduce_bool(self) -> bool:
+        return bool(self.reduce("LOR"))
+
+    def reduce_int(self) -> int:
+        r = self.reduce("PLUS")
+        return int(r) if r is not None else 0
+
+    def reduce_float(self) -> float:
+        r = self.reduce("PLUS")
+        return float(r) if r is not None else 0.0
+
+    def max(self):
+        return self.reduce("MAX")
+
+    def min(self):
+        return self.reduce("MIN")
+
+    # -- extract / assign (reference vector.py:1430-1549) --
+
+    def extract(self, sel) -> "Vector":
+        if isinstance(sel, slice):
+            start = sel.start or 0
+            stop = self.size - 1 if sel.stop is None else sel.stop  # inclusive
+            df = self.df.filter(F.col("id").between(start, stop)).select(
+                (F.col("id") - start).alias("id"), F.col(VAL)
+            )
+            return Vector(df, stop - start + 1, self.typ)
+        idx = list(sel)
+        spark = self.df.sparkSession
+        map_df = F.broadcast(
+            spark.createDataFrame(
+                [(int(v), p) for p, v in enumerate(idx)], "id long, __pos long"
+            )
+        )
+        df = (
+            self.df.join(map_df, on="id", how="inner")
+            .select(F.col("__pos").alias("id"), F.col(VAL))
+        )
+        return Vector(df, len(idx), self.typ)
+
+    def extract_element(self, i: int):
+        row = self.df.filter(F.col("id") == i).first()
+        return None if row is None else row[VAL]
+
+    def assign_scalar(
+        self,
+        value,
+        sel=None,
+        mask: Optional["Vector"] = None,
+        accum=None,
+        desc: Descriptor = NULL,
+    ) -> "Vector":
+        """v[:] = x — PageRank's teleport reset (reference vector.py:1494)."""
+        spark = self.df.sparkSession
+        typ_col = F.lit(value).cast(gbtypes.spark_type(self.typ))
+        if mask is not None:
+            target = core._truthy_mask(mask.df, desc.mask_structural).select(
+                "id", typ_col.alias(VAL)
+            )
+        else:
+            if sel is None:
+                start, stop = 0, self.size - 1
+            elif isinstance(sel, slice):
+                start, stop = sel.start or 0, (
+                    self.size - 1 if sel.stop is None else sel.stop
+                )
+            else:
+                start, stop = int(sel), int(sel)
+            target = spark.range(start, stop + 1).select(
+                F.col("id"), typ_col.alias(VAL)
+            )
+        if accum is not None:
+            merged = core.ewise_add(self.df, target, KEYS, _coerce_binop(accum))
+        else:
+            old_rest = self.df.join(target.select("id"), on="id", how="left_anti")
+            merged = target.unionByName(old_rest)
+        return Vector(merged, self.size, self.typ)
+
+    def assign(self, other: "Vector", accum=None) -> "Vector":
+        """Vector upsert (reference vector.py:1454)."""
+        src = other.df.select("id", F.col(VAL).cast(gbtypes.spark_type(self.typ)))
+        if accum is not None:
+            merged = core.ewise_add(self.df, src, KEYS, _coerce_binop(accum))
+        else:
+            old_rest = self.df.join(src.select("id"), on="id", how="left_anti")
+            merged = src.unionByName(old_rest)
+        return Vector(merged, self.size, self.typ)
+
+    def set_element(self, i: int, v) -> "Vector":
+        spark = self.df.sparkSession
+        one = spark.createDataFrame(
+            [(int(i), v)],
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField(VAL, gbtypes.spark_type(self.typ)),
+                ]
+            ),
+        )
+        rest = self.df.filter(F.col("id") != i)
+        return Vector(rest.unionByName(one), self.size, self.typ)
+
+    def del_element(self, i: int) -> "Vector":
+        return Vector(self.df.filter(F.col("id") != i), self.size, self.typ)
+
+    def __getitem__(self, index):
+        if isinstance(index, int):
+            return self.extract_element(index)
+        return self.extract(index)
+
+    # -- equality & sugar --
+
+    def iseq(self, other: "Vector") -> bool:
+        if self.size != other.size:
+            return False
+        return core.coo_equal(self.df, other.df, KEYS)
+
+    def isne(self, other: "Vector") -> bool:
+        return not self.iseq(other)
+
+    def __add__(self, other):
+        return self._scalar_or_ewise(other, "PLUS", "eadd")
+
+    def __sub__(self, other):
+        return self._scalar_or_ewise(other, "MINUS", "eadd")
+
+    def __mul__(self, other):
+        return self._scalar_or_ewise(other, "TIMES", "emult")
+
+    def __truediv__(self, other):
+        return self._scalar_or_ewise(other, "DIV", "emult")
+
+    def __or__(self, other):
+        return self.eadd(other, "SECOND")
+
+    def __and__(self, other):
+        return self.emult(other, "SECOND")
+
+    def __neg__(self):
+        return self.apply("AINV")
+
+    def _scalar_or_ewise(self, other, opname, ewise):
+        if isinstance(other, Vector):
+            return getattr(self, ewise)(other, opname)
+        return self.apply_second(opname, other)
+
+    # -- sinks --
+
+    def to_lists(self) -> list[list]:
+        rows = self.df.orderBy("id").collect()
+        return [[r["id"] for r in rows], [r[VAL] for r in rows]]
+
+    def to_arrays(self):
+        pdf = self.df.orderBy("id").toPandas()
+        return pdf["id"].to_numpy(), pdf[VAL].to_numpy()
+
+    def to_numpy(self):
+        """Dense numpy with absent cells as the type zero."""
+        import numpy as np
+
+        i, v = self.to_arrays()
+        dtype = "float64" if self.typ in ("FP32", "FP64") else "int64"
+        out = np.zeros(self.size, dtype=dtype)
+        if len(i):
+            out[i] = v
+        return out
+
+    def to_dict(self) -> dict:
+        return {r["id"]: r[VAL] for r in self.df.collect()}
+
+    def __iter__(self):
+        for r in self.df.toLocalIterator():
+            yield (r["id"], r[VAL])
+
+    def __len__(self):
+        return self.nvals
+
+    def __repr__(self):
+        return f"<Vector {self.typ} size={self.size}>"
+
+    def _finalized(self, new_df, out, mask, accum, desc) -> "Vector":
+        desc = desc or NULL
+        merged = core.finalize(
+            out.df if out is not None else None,
+            new_df,
+            KEYS,
+            mask.df if mask is not None else None,
+            _coerce_binop(accum) if accum else None,
+            desc,
+        )
+        return Vector(merged, self.size, self.typ)

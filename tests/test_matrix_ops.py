@@ -1,0 +1,303 @@
+"""Operator goldens lifted from the reference's own unit tests.
+
+Each test cites the reference test it replicates; the expected matrices
+are the reference's hand-computed fixtures (tests/test_matrix.py).
+"""
+
+from itertools import product
+
+import pytest
+
+from pygraphblas_spark import Matrix, Vector, descriptor
+
+
+def ML(spark, I, J, V, nrows=None, ncols=None, typ=None):
+    return Matrix.from_lists(spark, I, J, V, nrows, ncols, typ)
+
+
+def VL(spark, I, V, size=None, typ=None):
+    return Vector.from_lists(spark, I, V, size, typ)
+
+
+# ---- eadd / emult (reference tests/test_matrix.py:137-206) ----
+
+
+def test_matrix_eadd(spark):
+    I = list(range(10))
+    v = ML(spark, I + [0], I + [1], I + [1])  # diag + v[0,1]=1
+    w = ML(spark, I + [1], I + [0], I + [1])  # diag + w[1,0]=1
+
+    addition_ref = ML(
+        spark, I + [0, 1], I + [1, 0], list(range(0, 20, 2)) + [1, 1]
+    )
+    assert v.eadd(w).iseq(addition_ref)
+    assert (v + w).iseq(addition_ref)
+    assert v.eadd(w, "SECOND").iseq(v | w)
+
+
+def test_matrix_sub(spark):
+    # reference tests/test_matrix.py:164-181: diff has explicit zeros on
+    # the diagonal; lone entries pass through (implicit-zero semantics).
+    I = list(range(10))
+    v = ML(spark, I + [0], I + [1], I + [1])
+    w = ML(spark, I + [1], I + [0], I + [1])
+    subtraction_ref = ML(spark, I + [0, 1], I + [1, 0], [0] * 10 + [1, 1])
+    assert (v - w).iseq(subtraction_ref)
+
+
+def test_matrix_emult(spark):
+    I = list(range(10))
+    V = list(range(1, 11))
+    v = ML(spark, I, I, V)
+    w = ML(spark, I, I, V)
+    assert v.emult(w).iseq(ML(spark, I, I, [x * x for x in V]))
+    assert v.emult(w, "SECOND").iseq(v & w)
+    assert (v / w).iseq(ML(spark, I, I, [1] * 10))
+
+
+# ---- reductions (reference tests/test_matrix.py:208-247) ----
+
+
+def test_matrix_reduce_bool(spark):
+    v = Matrix.sparse(spark, "BOOL", 10, 10)
+    assert not v.reduce_bool()
+    v = v.set_element(3, 3, True).set_element(4, 4, False)
+    assert v.reduce_bool() is True
+    assert bool(v.reduce("LAND")) is False
+
+
+def test_matrix_reduce_int(spark):
+    v = Matrix.sparse(spark, "INT8", 10, 10)
+    assert v.reduce_int() == 0
+    v = v.set_element(3, 3, 3).set_element(4, 4, 4)
+    assert v.reduce_int() == 7
+    assert int(v.reduce("TIMES")) == 12
+
+
+def test_matrix_reduce_float(spark):
+    v = Matrix.sparse(spark, "FP64", 10, 10)
+    assert v.reduce_float() == 0.0
+    v = v.set_element(3, 3, 3.3).set_element(4, 4, 4.4)
+    assert v.reduce_float() == pytest.approx(7.7)
+    assert float(v.reduce("TIMES")) == pytest.approx(14.52)
+
+
+def test_matrix_reduce_vector(spark):
+    m = ML(spark, list(range(10)), list(range(10)), list(range(10)))
+    v = m.reduce_vector()
+    assert v.iseq(VL(spark, list(range(10)), list(range(10))))
+
+
+# ---- mxm / mxv (reference tests/test_matrix.py:249-307) ----
+
+
+def test_mxm(spark):
+    m = ML(spark, [0, 1, 2], [1, 2, 0], [1, 2, 3])
+    n = ML(spark, [0, 1, 2], [1, 2, 0], [2, 3, 4])
+    o = m.mxm(n)
+    assert o.nrows == 3 and o.ncols == 3 and o.nvals == 3
+    r = ML(spark, [0, 1, 2], [2, 0, 1], [3, 8, 6])
+    assert o.iseq(r)
+    assert r.iseq(m @ n)
+    # reference does `m @= n` first, so its LOR_LAND check uses m@n as the
+    # left operand; replicate without mutation
+    o = (m @ n).mxm(n, semiring="LOR_LAND")
+    assert o.cast("BOOL").iseq(
+        ML(spark, [0, 1, 2], [0, 1, 2], [True, True, True])
+    )
+
+
+def test_mxm_plus_plus(spark):
+    m = ML(spark, [0, 1, 2], [1, 2, 0], [1, 2, 3])
+    n = ML(spark, [0, 1, 2], [1, 2, 0], [2, 3, 4])
+    o = m.mxm(n, semiring="PLUS_PLUS")
+    assert o.iseq(ML(spark, [0, 1, 2], [2, 0, 1], [4, 6, 5]))
+
+
+def test_mxm_transpose_desc(spark):
+    m = ML(spark, [0, 1, 2], [1, 2, 0], [1, 2, 3])
+    n = ML(spark, [0, 1, 2], [1, 2, 0], [2, 3, 4])
+    assert m.mxm(n, desc=descriptor.T0).iseq(m.transpose().mxm(n))
+    assert m.mxm(n, desc=descriptor.T1).iseq(m.mxm(n.transpose()))
+
+
+def test_mxv(spark):
+    m = ML(spark, [0, 1, 2, 3], [1, 2, 0, 1], [1, 2, 3, 4])
+    v = VL(spark, [0, 1, 2], [2, 3, 4])
+    o = m.mxv(v)
+    assert o.iseq(VL(spark, [0, 1, 2, 3], [3, 8, 6, 12]))
+    assert o.iseq(m @ v)
+    assert o.iseq(m.transpose().mxv(v, desc=descriptor.T0))
+    o = m.mxv(v, semiring="PLUS_PLUS")
+    assert o.iseq(VL(spark, [0, 1, 2, 3], [4, 6, 5, 7]))
+
+
+def test_vxm(spark):
+    # vxm(v, A) == mxv(Aᵀ, v) (reference tests/test_vector.py:298-316)
+    m = ML(spark, [0, 1, 2], [1, 2, 0], [1, 2, 3])
+    v = VL(spark, [0, 1, 2], [2, 3, 4])
+    o = v.vxm(m)
+    assert o.iseq(m.transpose().mxv(v))
+    assert o.iseq(v @ m)
+
+
+# ---- select ops (reference tests/test_matrix.py:580-655) ----
+
+
+def test_select(spark):
+    v = ML(spark, [0, 1, 2], [0, 1, 2], [0, 0, 3])
+    assert v.select("!=0").to_lists() == [[2], [2], [3]]
+    assert v.select("!=", 0).to_lists() == [[2], [2], [3]]
+    assert v.select(">", 0).to_lists() == [[2], [2], [3]]
+    assert v.select("<", 3).to_lists() == [[0, 1], [0, 1], [0, 0]]
+    assert v.select(">=", 0).iseq(v)
+    assert v.select(">=0").iseq(v)
+
+
+def test_select_extremum(spark):
+    v = ML(spark, [0, 1, 2], [0, 1, 2], [5, 2, 3])
+    assert v.select("min").to_lists() == [[1], [1], [2]]
+    assert v.select("max").to_lists() == [[0], [0], [5]]
+
+
+def test_select_ops(spark):
+    I, J = tuple(map(list, zip(*product(range(3), repeat=2))))
+    V = list(range(9))
+    m = ML(spark, I, J, V, 3, 3)
+
+    assert m.tril().iseq(
+        ML(spark, [0, 1, 1, 2, 2, 2], [0, 0, 1, 0, 1, 2], [0, 3, 4, 6, 7, 8])
+    )
+    assert m.triu().iseq(
+        ML(spark, [0, 0, 0, 1, 1, 2], [0, 1, 2, 1, 2, 2], [0, 1, 2, 4, 5, 8])
+    )
+    assert m.diag().iseq(ML(spark, [0, 1, 2], [0, 1, 2], [0, 4, 8]))
+    assert m.offdiag().iseq(
+        ML(spark, [0, 0, 1, 1, 2, 2], [1, 2, 0, 2, 0, 1], [1, 2, 3, 5, 6, 7])
+    )
+    assert m.nonzero().iseq(
+        ML(
+            spark,
+            [0, 0, 1, 1, 1, 2, 2, 2],
+            [1, 2, 0, 1, 2, 0, 1, 2],
+            [1, 2, 3, 4, 5, 6, 7, 8],
+        )
+    )
+    assert (-m).iseq(ML(spark, I, J, [0, -1, -2, -3, -4, -5, -6, -7, -8]))
+    assert abs(m.apply("AINV")).iseq(ML(spark, I, J, V))
+
+
+def test_invert_fp(spark):
+    m = ML(spark, [0, 1, 2], [0, 1, 2], [0.0, 1.0, 2.0], 3, 3)
+    n = ~m
+    assert n.to_lists()[2] == [float("inf"), 1.0, 0.5]
+
+
+# ---- transpose / pattern / cast / kron ----
+
+
+def test_transpose(spark):
+    m = ML(spark, [0, 1, 2], [1, 2, 0], [1, 2, 3])
+    assert m.T.to_lists() == [[0, 1, 2], [2, 0, 1], [3, 1, 2]]
+    assert m.T.T.iseq(m)
+
+
+def test_pattern(spark):
+    m = ML(spark, [0, 1], [1, 2], [7, 9])
+    assert m.pattern().to_lists() == [[0, 1], [1, 2], [True, True]]
+
+
+def test_kronecker(spark):
+    # 2x2 ⊗ 2x2 known product
+    a = ML(spark, [0, 0, 1], [0, 1, 1], [1, 2, 3], 2, 2)
+    b = ML(spark, [0, 1], [1, 0], [1, 1], 2, 2)
+    k = a.kronecker(b)
+    assert k.nrows == 4 and k.ncols == 4
+    expected = {
+        (0, 1): 1, (1, 0): 1,      # a00=1 * b
+        (0, 3): 2, (1, 2): 2,      # a01=2 * b
+        (2, 3): 3, (3, 2): 3,      # a11=3 * b
+    }
+    assert k.to_dict() == expected
+
+
+def test_matrix_pow(spark):
+    # 3-cycle: A^3 = I (values multiply to 6 along the cycle)
+    m = ML(spark, [0, 1, 2], [1, 2, 0], [1, 2, 3])
+    p = m ** 3
+    assert p.to_dict() == {(0, 0): 6, (1, 1): 6, (2, 2): 6}
+
+
+# ---- extract / assign / slicing (reference tests/test_matrix.py:374-520) ----
+
+
+def test_extract_element_and_row_col(spark):
+    I, J = tuple(map(list, zip(*product(range(3), repeat=2))))
+    m = ML(spark, I, J, list(range(9)), 3, 3)
+    assert m.extract_element(1, 2) == 5
+    assert m[1, 2] == 5
+    assert m.extract_row(1).to_lists() == [[0, 1, 2], [3, 4, 5]]
+    assert m.extract_col(1).to_lists() == [[0, 1, 2], [1, 4, 7]]
+    assert m[1].to_lists() == [[0, 1, 2], [3, 4, 5]]
+
+
+def test_extract_matrix_slices(spark):
+    I, J = tuple(map(list, zip(*product(range(3), repeat=2))))
+    m = ML(spark, I, J, list(range(9)), 3, 3)
+    # GraphBLAS slices are inclusive: m[0:1, 0:1] is 2x2
+    s = m.extract_matrix(slice(0, 1), slice(0, 1))
+    assert s.nrows == 2 and s.ncols == 2
+    assert s.to_lists() == [[0, 0, 1, 1], [0, 1, 0, 1], [0, 1, 3, 4]]
+    # explicit lists remap to positions
+    s2 = m.extract_matrix([2, 0], [1])
+    assert s2.to_dict() == {(0, 0): 7, (1, 0): 1}
+
+
+def test_assign_scalar_and_matrix(spark):
+    m = Matrix.sparse(spark, "INT64", 3, 3)
+    m2 = m.assign_scalar(7, rows=slice(0, 1), cols=slice(0, 1))
+    assert m2.to_dict() == {(0, 0): 7, (0, 1): 7, (1, 0): 7, (1, 1): 7}
+    sub = ML(spark, [0], [0], [9], 1, 1)
+    m3 = m2.assign_matrix(sub, rows=slice(1, 1), cols=slice(1, 1))
+    assert m3.to_dict()[(1, 1)] == 9 and m3.to_dict()[(0, 0)] == 7
+
+
+def test_setitem_delitem(spark):
+    m = Matrix.sparse(spark, "INT64", 3, 3)
+    m = m.set_element(0, 1, 5)
+    assert m[0, 1] == 5
+    m = m.set_element(0, 1, 6)
+    assert m[0, 1] == 6 and m.nvals == 1
+    m = m.del_element(0, 1)
+    assert m.nvals == 0
+
+
+def test_from_lists_duplicate_last_wins(spark):
+    # reference sets elements in a loop → last write wins (matrix.py:329-331)
+    m = ML(spark, [0, 0], [0, 0], [1, 9])
+    assert m.to_dict() == {(0, 0): 9}
+
+
+def test_resize_clear_dup(spark):
+    m = ML(spark, [0, 2], [0, 2], [1, 2], 3, 3)
+    assert m.resize(2, 2).to_dict() == {(0, 0): 1}
+    assert m.clear().nvals == 0
+    assert m.dup().iseq(m)
+
+
+# ---- type promotion (reference tests/test_matrix.py:1017-1029) ----
+
+
+def test_type_promotion_mxm(spark):
+    a = ML(spark, [0], [0], [2], 1, 1, "INT64")
+    b = ML(spark, [0], [0], [2.5], 1, 1, "FP64")
+    assert a.mxm(b).typ == "FP64"
+    assert a.eadd(b).typ == "FP64"
+
+
+def test_apply_ops(spark):
+    m = ML(spark, [0, 1], [0, 1], [4.0, 9.0])
+    assert m.apply("SQRT").to_lists()[2] == [2.0, 3.0]
+    assert m.apply_second("PLUS", 1.0).to_lists()[2] == [5.0, 10.0]
+    assert m.apply_first(1.0, "MINUS").to_lists()[2] == [-3.0, -8.0]
+    assert m.apply("POSITIONI").to_lists()[2] == [0, 1]

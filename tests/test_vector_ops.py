@@ -1,0 +1,95 @@
+"""Vector operator goldens (reference tests/test_vector.py)."""
+
+import pytest
+
+from pygraphblas_spark import Matrix, Vector, descriptor
+
+
+def VL(spark, I, V, size=None, typ=None):
+    return Vector.from_lists(spark, I, V, size, typ)
+
+
+def test_vector_create_and_elements(spark):
+    v = Vector.sparse(spark, "INT64", 10)
+    assert v.size == 10 and v.nvals == 0
+    v = v.set_element(3, 3)
+    assert v[3] == 3 and v.nvals == 1
+    v = v.set_element(3, 5)
+    assert v[3] == 5 and v.nvals == 1
+    v = v.del_element(3)
+    assert v.nvals == 0
+
+
+def test_vector_eadd_emult(spark):
+    v = VL(spark, [0, 1, 2], [1, 2, 3])
+    w = VL(spark, [1, 2, 3], [10, 20, 30])
+    s = v.eadd(w)
+    assert s.to_dict() == {0: 1, 1: 12, 2: 23, 3: 30}
+    m = v.emult(w)
+    assert m.to_dict() == {1: 20, 2: 60}
+    assert (v + w).iseq(s)
+    assert (v * w).iseq(m)
+
+
+def test_vector_scalar_ops(spark):
+    v = VL(spark, [0, 1, 2], [1.0, 2.0, 3.0])
+    assert (v + 1.0).to_dict() == {0: 2.0, 1: 3.0, 2: 4.0}
+    assert (v / 2.0).to_dict() == {0: 0.5, 1: 1.0, 2: 1.5}
+    assert abs(-v).iseq(v)
+
+
+def test_vector_reduce(spark):
+    v = VL(spark, [0, 1, 2], [1, 2, 3])
+    assert v.reduce_int() == 6
+    assert v.max() == 3
+    assert v.min() == 1
+    assert VL(spark, [0], [True]).reduce_bool()
+
+
+def test_vector_select(spark):
+    v = VL(spark, [0, 1, 2], [0, 5, 3])
+    assert v.select("!=0").to_dict() == {1: 5, 2: 3}
+    assert v.select(">", 3).to_dict() == {1: 5}
+    assert v.select("max").to_dict() == {1: 5}
+    assert v.select("min").to_dict() == {0: 0}
+
+
+def test_vector_extract_assign(spark):
+    v = VL(spark, [0, 1, 2, 3], [1, 2, 3, 4])
+    # inclusive slice
+    s = v.extract(slice(1, 2))
+    assert s.to_dict() == {0: 2, 1: 3} and s.size == 2
+    s2 = v.extract([3, 0])
+    assert s2.to_dict() == {0: 4, 1: 1}
+    a = v.assign_scalar(9)
+    assert a.to_dict() == {0: 9, 1: 9, 2: 9, 3: 9}
+    a2 = v.assign_scalar(9, sel=slice(1, 2))
+    assert a2.to_dict() == {0: 1, 1: 9, 2: 9, 3: 4}
+    a3 = v.assign(VL(spark, [1], [100]))
+    assert a3.to_dict() == {0: 1, 1: 100, 2: 3, 3: 4}
+    a4 = v.assign(VL(spark, [1], [100]), accum="PLUS")
+    assert a4.to_dict() == {0: 1, 1: 102, 2: 3, 3: 4}
+
+
+def test_vector_apply(spark):
+    v = VL(spark, [0, 1], [4.0, 9.0])
+    assert v.apply("SQRT").to_dict() == {0: 2.0, 1: 3.0}
+    assert v.apply_second("TIMES", 2.0).to_dict() == {0: 8.0, 1: 18.0}
+
+
+def test_from_1_to_n(spark):
+    v = Vector.from_1_to_n(spark, 3)
+    assert v.to_dict() == {0: 1, 1: 2, 2: 3}
+
+
+def test_vector_pattern_cast(spark):
+    v = VL(spark, [0, 2], [5, 7])
+    assert v.pattern().to_dict() == {0: True, 2: True}
+    assert v.cast("FP64").to_dict() == {0: 5.0, 2: 7.0}
+
+
+def test_dense_iso(spark):
+    v = Vector.dense(spark, "FP64", 4, fill=0.25)
+    assert v.to_dict() == {0: 0.25, 1: 0.25, 2: 0.25, 3: 0.25}
+    w = Vector.iso(spark, 1.0, 3)
+    assert w.to_dict() == {0: 1.0, 1: 1.0, 2: 1.0}
