@@ -1,0 +1,23 @@
+"""Graph algorithms over edge DataFrames — the reference's demo workload
+(SURVEY.md §2.11) re-expressed as iterative, checkpointed Spark jobs.
+
+All hot loops operate on raw DataFrames (src, dst[, val]) with explicit
+partitioning; the Matrix/Vector facades are the construction/test-level API.
+"""
+
+from pygraphblas_spark.algorithms.pagerank import pagerank
+from pygraphblas_spark.algorithms.components import connected_components
+from pygraphblas_spark.algorithms.labelprop import label_propagation
+from pygraphblas_spark.algorithms.triangles import triangle_count, triangle_count_sandia
+from pygraphblas_spark.algorithms.bfs import bfs_levels
+from pygraphblas_spark.algorithms.sssp import sssp
+
+__all__ = [
+    "pagerank",
+    "connected_components",
+    "label_propagation",
+    "triangle_count",
+    "triangle_count_sandia",
+    "bfs_levels",
+    "sssp",
+]

@@ -1,0 +1,101 @@
+"""Connected components — min-label diffusion to fixed point.
+
+The north star names "min-plus label diffusion"; the GraphBLAS form is a
+MIN_SECOND semiring mxv iterated to fixpoint (SURVEY.md §2.11; the
+reference ships the primitive, not a demo — expressible with its
+``Vector.vxm(A, MIN_SECOND, accum=MIN)``).
+
+    label[v] ← min(label[v], min_{(u,v) ∈ E} label[u])   until no change
+
+Scale shape:
+- Edges symmetrized once, repartitioned by ``src``, persisted.
+- **Delta frontier** (north-rule requirement): after the first sweep only
+  vertices whose label CHANGED last round propagate — the per-iteration
+  join shrinks with the frontier, turning O(iters × |E|) into
+  O(Σ frontier-adjacent edges). This is the GraphBLAS masked-vxm idiom
+  (complement mask on the unchanged set) done Spark-side.
+- Convergence = empty frontier (count action per iteration).
+- Label skew (one giant component → one hot label value) is harmless:
+  the groupBy key is the vertex id, not the label.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pygraphblas_spark.plans.checkpoint import CheckpointManager
+
+
+def connected_components(
+    edges: DataFrame,
+    n: Optional[int] = None,
+    max_iters: int = 100,
+    directed: bool = False,
+    checkpoint: Optional[CheckpointManager] = None,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Connected components over an edge DataFrame (src, dst).
+
+    Returns (id: long, component: long) where component is the minimum
+    vertex id in the component — exact, deterministic labels.
+    ``directed=False`` (default) symmetrizes, computing undirected CCs.
+    """
+    spark = edges.sparkSession
+    ckpt = checkpoint or CheckpointManager(algorithm="cc")
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    if num_partitions:
+        e = e.repartition(num_partitions, "src")
+    e = e.persist()
+
+    if n is None:
+        mx = e.agg(F.max("src"), F.max("dst")).first()
+        n = int(max(mx[0], mx[1])) + 1 if mx[0] is not None else 0
+    else:
+        e.count()
+
+    # label[v] = v
+    labels = spark.range(n).select("id", F.col("id").alias("component"))
+    labels = ckpt.cut(labels)
+    # frontier: vertices whose label changed last round (all, initially)
+    frontier = labels
+    for it in range(max_iters):
+        # propagate only frontier labels: min incoming label per dst
+        prop = (
+            e.join(frontier, e["src"] == frontier["id"])
+            .groupBy(e["dst"].alias("pid"))
+            .agg(F.min("component").alias("new_component"))
+        )
+        # merge: keep the smaller of old and proposed label
+        merged = (
+            labels.join(prop, labels["id"] == F.col("pid"), "left_outer")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("new_component"), F.col("component")),
+                ).alias("component"),
+                (F.col("new_component") < F.col("component")).alias("__changed"),
+            )
+        )
+        merged = ckpt.cut(merged)
+        new_frontier = merged.filter(F.col("__changed")).select("id", "component")
+        changed = new_frontier.count()  # the single action per iteration
+        labels = merged.select("id", "component")
+        states = ckpt.save(
+            it + 1,
+            {"labels": labels, "frontier": new_frontier},
+            {"changed": changed, "n": n},
+        )
+        labels, frontier = states["labels"], states["frontier"]
+        if changed == 0:
+            break
+
+    e.unpersist()
+    return labels

@@ -1,0 +1,93 @@
+"""Label propagation (LPA) — synchronous rounds, deterministic tie-break.
+
+The reference ships a modularity-based Louvain variant
+(``demo/Louvain.ipynb`` cells 5-6, row-serial); plain LPA is expressible
+with its semiring ops (SURVEY.md §2.11). Each round every vertex adopts the
+most frequent label among its neighbors; ties break to the SMALLEST label
+so results are exactly reproducible (the reference's ANY-semiring tie
+behavior is nondeterministic — we pin it, as SURVEY.md §7.3 requires).
+
+Spark shape per round (no per-row Python):
+
+    counts  = edges ⋈ labels → groupBy(dst, label) → count
+    winner  = counts → groupBy(dst) → max_by(struct(count, -label))
+    labels' = winner (vertices with no neighbors keep their label)
+
+The two-stage aggregation keeps hub skew off single reducers: stage 1
+partial-aggregates (dst, label) pairs map-side; stage 2 reduces the much
+smaller per-label counts.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pygraphblas_spark.plans.checkpoint import CheckpointManager
+
+
+def label_propagation(
+    edges: DataFrame,
+    n: Optional[int] = None,
+    max_iters: int = 20,
+    directed: bool = False,
+    checkpoint: Optional[CheckpointManager] = None,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Synchronous LPA over an edge DataFrame (src, dst).
+
+    Returns (id: long, label: long). Deterministic: most-frequent
+    neighbor label, ties to the smallest label; stops when no vertex
+    changes or after ``max_iters`` rounds.
+    """
+    spark = edges.sparkSession
+    ckpt = checkpoint or CheckpointManager(algorithm="lpa")
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    if num_partitions:
+        e = e.repartition(num_partitions, "src")
+    e = e.persist()
+
+    if n is None:
+        mx = e.agg(F.max("src"), F.max("dst")).first()
+        n = int(max(mx[0], mx[1])) + 1 if mx[0] is not None else 0
+    else:
+        e.count()
+
+    labels = spark.range(n).select("id", F.col("id").alias("label"))
+    labels = ckpt.cut(labels)
+
+    for it in range(max_iters):
+        # neighbor label counts: two-stage agg (map-side partials absorb
+        # hub skew before the shuffle)
+        counts = (
+            e.join(labels, e["src"] == labels["id"])
+            .groupBy(e["dst"].alias("vid"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax with min-label tie-break: max of (cnt, -label)
+        winner = counts.groupBy("vid").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("w")
+        ).select(F.col("vid"), (-F.col("w.neg")).alias("new_label"))
+        merged = labels.join(winner, labels["id"] == F.col("vid"), "left_outer").select(
+            "id",
+            F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            (F.coalesce(F.col("new_label"), F.col("label")) != F.col("label")).alias(
+                "__changed"
+            ),
+        )
+        merged = ckpt.cut(merged)
+        changed = merged.filter(F.col("__changed")).count()
+        labels = merged.select("id", "label")
+        states = ckpt.save(it + 1, {"labels": labels}, {"changed": changed, "n": n})
+        labels = states["labels"]
+        if changed == 0:
+            break
+
+    e.unpersist()
+    return labels

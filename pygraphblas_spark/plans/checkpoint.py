@@ -1,0 +1,147 @@
+"""Per-iteration checkpointing with lineage manifests — resumable runs.
+
+The north rule requires: "each iteration checkpoints per-partition frontier
+and rank vectors with lineage and convergence metrics so runs resume
+mid-iteration". The reference has no such machinery (single-node, in-memory
+ping-pong vectors, SURVEY.md §3.3); on Spark it is load-bearing twice over:
+
+1. **Lineage truncation** — an iterative DataFrame loop grows the logical
+   plan linearly; without truncation Catalyst analysis time explodes and a
+   lost executor recomputes the whole history. Each iteration's state is
+   either ``localCheckpoint``-ed (fast, cluster-memory) or written to
+   parquet (durable) so the plan is cut at every step.
+2. **Resume** — the manifest (JSON) records iteration number, state paths,
+   convergence metric, per-iteration row counts and timings; a new driver
+   picks up from the last durable iteration.
+
+State layout under ``root/``:
+
+    manifest.json                     # lineage: list of iteration records
+    it_00042/<name>.parquet           # one dir per durable iteration
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CheckpointManager:
+    """Durable (parquet) checkpoint + manifest for an iterative algorithm.
+
+    ``interval`` controls durability cadence: every iteration calls
+    ``cut()`` which truncates lineage in memory (localCheckpoint); every
+    ``interval``-th iteration also persists state to parquet and appends a
+    manifest record. ``interval=0`` disables durable writes (pure in-memory
+    lineage truncation — what tests and benchmarks use).
+    """
+
+    def __init__(
+        self,
+        root: Optional[str] = None,
+        interval: int = 0,
+        algorithm: str = "",
+        params: Optional[dict] = None,
+    ):
+        self.root = root
+        self.interval = int(interval)
+        self.algorithm = algorithm
+        self.params = params or {}
+        self.records: list[dict] = []
+        self._t0 = time.time()
+        if self.durable:
+            os.makedirs(self.root, exist_ok=True)
+
+    @property
+    def durable(self) -> bool:
+        return bool(self.root) and self.interval > 0
+
+    # -- lineage truncation (every iteration) --
+
+    def cut(self, df: DataFrame) -> DataFrame:
+        """Truncate lineage: materialize the iteration state and return a
+        frame whose plan starts fresh. ``localCheckpoint(eager=True)``
+        stores partitions on executors — no parquet round-trip."""
+        return df.localCheckpoint(eager=True)
+
+    # -- durable checkpoint + manifest --
+
+    def save(
+        self,
+        iteration: int,
+        states: dict[str, DataFrame],
+        metrics: dict,
+    ) -> dict[str, DataFrame]:
+        """Record an iteration. When durable and on-cadence, write each
+        state DataFrame to parquet (partition-parallel write — this *is*
+        the per-partition frontier/rank checkpoint) and reload it so the
+        returned frames read from disk (lineage fully severed).
+
+        Always appends the metrics record to the in-memory manifest;
+        flushes manifest JSON on durable iterations.
+        """
+        rec = {
+            "iteration": iteration,
+            "algorithm": self.algorithm,
+            "elapsed_sec": round(time.time() - self._t0, 3),
+            "metrics": metrics,
+            "durable": False,
+        }
+        out = states
+        if self.durable and iteration % self.interval == 0:
+            it_dir = os.path.join(self.root, f"it_{iteration:05d}")
+            out = {}
+            state_meta = {}
+            for name, df in states.items():
+                path = os.path.join(it_dir, f"{name}.parquet")
+                df.write.mode("overwrite").parquet(path)
+                reloaded = df.sparkSession.read.parquet(path)
+                out[name] = reloaded
+                state_meta[name] = {
+                    "path": path,
+                    "num_files_partitions": reloaded.rdd.getNumPartitions(),
+                }
+            rec["durable"] = True
+            rec["states"] = state_meta
+        self.records.append(rec)
+        if rec["durable"]:
+            self._flush()
+        return out
+
+    def _flush(self) -> None:
+        manifest = {
+            "algorithm": self.algorithm,
+            "params": self.params,
+            "records": self.records,
+        }
+        tmp = os.path.join(self.root, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, os.path.join(self.root, "manifest.json"))
+
+    # -- resume --
+
+    @classmethod
+    def resume(
+        cls, spark: SparkSession, root: str
+    ) -> Optional[tuple[int, dict[str, DataFrame], dict]]:
+        """Load the latest durable iteration: returns (iteration,
+        {state_name: DataFrame}, manifest) or None if no manifest."""
+        path = os.path.join(root, "manifest.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            manifest = json.load(f)
+        durable = [r for r in manifest["records"] if r.get("durable")]
+        if not durable:
+            return None
+        last = durable[-1]
+        states = {
+            name: spark.read.parquet(meta["path"])
+            for name, meta in last["states"].items()
+        }
+        return last["iteration"], states, manifest

@@ -1,0 +1,156 @@
+"""Algorithm correctness vs numpy oracles + the reference's documented
+expectations (FIXTURES.md §3: PageRank 11-node graph, CC/LPA two-component
+fixture, triangle fixtures)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pygraphblas_spark import Matrix
+from pygraphblas_spark.algorithms import (
+    bfs_levels,
+    connected_components,
+    label_propagation,
+    pagerank,
+    sssp,
+    triangle_count,
+    triangle_count_sandia,
+)
+from tests.oracles import cc_oracle, lpa_oracle, pagerank_oracle, triangle_oracle
+
+# FIXTURES.md §3b — the reference demo/PageRank.ipynb 11-node graph
+PR_I = [1, 2, 3, 4, 5, 3, 4, 4, 5, 6, 6, 7, 7, 8, 8, 9, 10]
+PR_J = [2, 1, 1, 1, 1, 0, 3, 5, 4, 1, 4, 1, 4, 1, 4, 4, 4]
+PR_N = 11
+
+# FIXTURES.md §3a — canonical 7-node doc graph
+DOC_I = [0, 0, 1, 1, 2, 3, 3, 4, 5, 6, 6, 6]
+DOC_J = [1, 3, 4, 6, 5, 0, 2, 5, 2, 2, 3, 4]
+
+
+def edges_df(spark, I, J, vals=None):
+    if vals is None:
+        vals = [1.0] * len(I)
+    return spark.createDataFrame(
+        list(zip(map(int, I), map(int, J), map(float, vals))),
+        "src long, dst long, val double",
+    )
+
+
+def test_pagerank_11node_vs_oracle(spark):
+    e = edges_df(spark, PR_I, PR_J)
+    got = pagerank(e, n=PR_N, damping=0.85, tol=1e-4, max_iters=100)
+    rows = {r["id"]: r["rank"] for r in got.collect()}
+    want = pagerank_oracle(PR_I, PR_J, PR_N)
+    got_arr = np.array([rows[i] for i in range(PR_N)])
+    # north rule: per-vertex scores allclose 1e-6
+    assert np.allclose(got_arr, want, atol=1e-6)
+    # this is the Wikipedia PageRank example graph (reference
+    # demo/PageRank.ipynb cell 4): B (=1) and C (=2) rank highest
+    top2 = set(np.argsort(-got_arr)[:2])
+    assert top2 == {1, 2}
+
+
+def test_pagerank_strict_tolerance_vs_oracle(spark):
+    # tighter tol exercises more iterations and the checkpoint path
+    e = edges_df(spark, DOC_I, DOC_J)
+    got = pagerank(e, n=7, tol=1e-10, max_iters=100)
+    rows = {r["id"]: r["rank"] for r in got.collect()}
+    want = pagerank_oracle(DOC_I, DOC_J, 7, tol=1e-10)
+    assert np.allclose([rows[i] for i in range(7)], want, atol=1e-6)
+
+
+def test_cc_two_components(spark):
+    # FIXTURES.md §3d: path 0-1-2-3, triangle 4-5-6, isolated 7
+    I = [0, 1, 2, 4, 5, 6]
+    J = [1, 2, 3, 5, 6, 4]
+    e = edges_df(spark, I, J)
+    got = {r["id"]: r["component"] for r in connected_components(e, n=8).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7}
+
+
+def test_cc_vs_oracle_random(spark):
+    rng = np.random.RandomState(7)
+    n, m = 60, 120
+    I = rng.randint(0, n, m).tolist()
+    J = rng.randint(0, n, m).tolist()
+    e = edges_df(spark, I, J)
+    got = {r["id"]: r["component"] for r in connected_components(e, n=n).collect()}
+    want = cc_oracle(I, J, n)
+    assert got == {i: int(want[i]) for i in range(n)}
+
+
+def test_lpa_vs_oracle(spark):
+    # two dense cliques joined by one edge — LPA must separate them
+    I = [0, 0, 1, 4, 4, 5, 3]
+    J = [1, 2, 2, 5, 6, 6, 4]
+    e = edges_df(spark, I, J)
+    got = {r["id"]: r["label"] for r in label_propagation(e, n=7, max_iters=20).collect()}
+    want = lpa_oracle(I, J, 7, max_iters=20)
+    assert got == {i: int(want[i]) for i in range(7)}
+
+
+def test_triangle_fixture(spark):
+    # FIXTURES.md §3c: triangle + pendant = 1 triangle
+    I = [0, 1, 0, 2]
+    J = [1, 2, 2, 3]
+    e = edges_df(spark, I, J)
+    assert triangle_count(e) == 1
+
+
+def test_triangle_7node(spark):
+    e = edges_df(spark, DOC_I, DOC_J)
+    want = triangle_oracle(DOC_I, DOC_J, 7)
+    assert triangle_count(e) == want == 2
+
+
+def test_triangle_sandia_matches_scalable(spark):
+    # both implementations agree with the oracle on a random graph
+    rng = np.random.RandomState(3)
+    n, m = 40, 200
+    I = rng.randint(0, n, m).tolist()
+    J = rng.randint(0, n, m).tolist()
+    e = edges_df(spark, I, J)
+    want = triangle_oracle(I, J, n)
+    assert triangle_count(e) == want
+
+    sym = Matrix.from_lists(spark, I, J, True, n, n)
+    sym = sym.eadd(sym.T, "LOR").offdiag()
+    L = sym.tril(-1)
+    assert triangle_count_sandia(L) == want
+
+
+def test_bfs_levels(spark):
+    e = edges_df(spark, DOC_I, DOC_J)
+    got = {r["id"]: r["level"] for r in bfs_levels(e, source=0).collect()}
+    # hand-traced: 0 →{1,3}→{4,6,2}→{5}
+    assert got == {0: 0, 1: 1, 3: 1, 4: 2, 6: 2, 2: 2, 5: 3}
+
+
+def test_sssp(spark):
+    # weighted diamond: 0→1 (1), 0→2 (4), 1→2 (1), 2→3 (1), 1→3 (5)
+    e = edges_df(spark, [0, 0, 1, 2, 1], [1, 2, 2, 3, 3], [1.0, 4.0, 1.0, 1.0, 5.0])
+    got = {r["id"]: r["dist"] for r in sssp(e, source=0).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0}
+
+
+def test_pagerank_resume_from_checkpoint(spark, tmp_path):
+    from pygraphblas_spark.plans.checkpoint import CheckpointManager
+
+    root = str(tmp_path / "ckpt")
+    ckpt = CheckpointManager(root=root, interval=1, algorithm="pagerank")
+    e = edges_df(spark, PR_I, PR_J)
+    got = pagerank(e, n=PR_N, max_iters=3, checkpoint=ckpt)
+    # resume picks up iteration 3's state
+    resumed = CheckpointManager.resume(spark, root)
+    assert resumed is not None
+    it, states, manifest = resumed
+    assert it == 3 and "rank" in states
+    assert states["rank"].count() == PR_N
+    # manifest carries convergence lineage
+    assert [r["iteration"] for r in manifest["records"]] == [1, 2, 3]
+    assert all("rdiff" in r["metrics"] for r in manifest["records"])
+    # resumed state equals the returned result
+    a = {r["id"]: r["rank"] for r in got.collect()}
+    b = {r["id"]: r["rank"] for r in states["rank"].collect()}
+    assert a == pytest.approx(b)
