@@ -1,0 +1,248 @@
+"""Code-repository link graph: source table → edge table.
+
+Input (BASELINE.json input_hint): an Iceberg table of source-code
+repositories with columns ``(repo: string, path: string, commit: string,
+lang: string, content: string)``. In this sandbox the table is synthesized
+deterministically (same schema, seeded) and read/written as parquet — the
+scan code is storage-agnostic DataFrame API, so an Iceberg catalog source
+(``spark.read.table(...)``) drops in unchanged and gets partition pruning
+on (repo, lang) for free from Catalyst.
+
+Edge extraction (FIXTURES.md §2):
+
+- **import edges**: file A → file B within the same repo when A's content
+  imports B's module name. Import statements are parsed with Spark's
+  built-in ``regexp_extract_all`` (JVM-side, codegen) — NO per-row Python,
+  per the input_hint's "vectorized UDFs only" constraint (here: zero UDFs).
+- **commit co-occurrence edges**: all pairs of paths sharing a commit
+  (clique per commit), capped per commit to bound the quadratic blowup of
+  giant commits — the cap is a top-K by path order inside each commit
+  (window rank ≤ cap), keeping the result deterministic.
+
+Vertex dictionary: ``(repo, path) → id`` dense longs. Dense ids are
+assigned with a distributed sort + zipWithIndex (per-partition counts +
+prefix-sum offsets under the hood — no single-partition window, no driver
+collect), deterministic for a given table.
+
+At 10^12 files the dictionary build is the one global sort in the
+pipeline; it runs once, is embarrassingly range-partitionable, and its
+output is checkpointed. Everything downstream joins on dense longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# language → import-statement pattern, applied with regexp_extract_all.
+# Patterns intentionally simple (module-name capture), mirroring what the
+# synthetic generator emits; real-world parsing would extend the table.
+IMPORT_PATTERNS = {
+    "python": r"(?m)^\s*import\s+([A-Za-z_][A-Za-z0-9_]*)",
+    "javascript": r"""(?m)require\(['"]\./([A-Za-z0-9_]+)['"]\)""",
+    "go": r'(?m)^\s*import\s+"([A-Za-z0-9_/]+)"',
+}
+
+LANGS = list(IMPORT_PATTERNS)
+EXT = {"python": "py", "javascript": "js", "go": "go"}
+
+
+def synthesize_source_table(
+    spark: SparkSession,
+    n_files: int,
+    seed: int = 42,
+    paths_per_commit: int = 13,
+    files_per_repo: int = 50,
+) -> DataFrame:
+    """Deterministic synthetic source-code table (FIXTURES.md §1 schema).
+
+    Fully distributed: one ``spark.range`` and pure column expressions —
+    reproducible for any partitioning because every column is a function
+    of the row id alone.
+
+    Layout: ``n_files // files_per_repo`` repos (round-robin assignment),
+    each file a distinct module ``mod<k>`` within its repo. Each file
+    (lang cycling py/js/go) contains 0-4 import lines referencing other
+    modules of the same repo; ~``paths_per_commit`` same-repo files share
+    each commit id.
+    """
+    i = F.col("id")
+    n_repos = max(1, n_files // files_per_repo)
+    repo_idx = i % n_repos
+    file_idx = (i / n_repos).cast("long")  # position within repo
+    n_mods = files_per_repo  # module namespace ≈ files per repo
+    lang = F.element_at(F.array(*[F.lit(l) for l in LANGS]), (i % 3 + 1).cast("int"))
+    ext = F.element_at(F.array(*[F.lit(EXT[l]) for l in LANGS]), (i % 3 + 1).cast("int"))
+    mod = F.concat(F.lit("mod"), file_idx.cast("string"))
+    repo = F.concat(
+        F.lit("org"),
+        (repo_idx % 7).cast("string"),
+        F.lit("/repo"),
+        repo_idx.cast("string"),
+    )
+    path = F.concat(
+        F.lit("src/"),
+        F.chr(97 + (file_idx % 5)),
+        F.lit("/"),
+        mod,
+        F.lit("."),
+        ext,
+    )
+    commit = F.sha2(
+        F.concat_ws(
+            "-",
+            F.lit(f"c{seed}"),
+            repo_idx.cast("string"),
+            (file_idx / paths_per_commit).cast("long").cast("string"),
+        ),
+        256,
+    ).substr(1, 12)
+
+    # 0-4 imports: deterministic hash-derived targets within the repo's
+    # module namespace
+    h = lambda salt: F.abs(F.xxhash64(i, F.lit(seed), F.lit(salt)))
+    n_imports = (h("n") % 5).cast("int")
+    import_lines = []
+    for k in range(4):
+        target_mod = F.concat(F.lit("mod"), (h(f"t{k}") % n_mods).cast("string"))
+        stmt = (
+            F.when(lang == "python", F.concat(F.lit("import "), target_mod))
+            .when(
+                lang == "javascript",
+                F.concat(F.lit("const m = require('./"), target_mod, F.lit("')")),
+            )
+            .otherwise(F.concat(F.lit('import "'), target_mod, F.lit('"')))
+        )
+        import_lines.append(F.when(n_imports > k, stmt))
+    body = F.concat_ws(
+        "\n",
+        F.lit("// generated"),
+        *import_lines,
+        F.concat(F.lit("function f() { return "), (h("ret") % 1000).cast("string"), F.lit("; }")),
+    )
+
+    return spark.range(n_files).select(
+        repo.alias("repo"),
+        path.alias("path"),
+        commit.alias("commit"),
+        lang.alias("lang"),
+        body.alias("content"),
+    )
+
+
+def build_vertices(source: DataFrame) -> DataFrame:
+    """Vertex dictionary: distinct (repo, path) → dense long id.
+
+    Distributed dense-id assignment: sort by (repo, path) then
+    zipWithIndex (Spark computes per-partition sizes and offsets in one
+    extra lightweight job — no single-partition Window, no collect).
+    Deterministic for a given source table.
+    """
+    distinct = source.select("repo", "path").distinct().orderBy("repo", "path")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+        ]
+    )
+    rdd = distinct.rdd.zipWithIndex().map(lambda t: (t[1], t[0][0], t[0][1]))
+    return source.sparkSession.createDataFrame(rdd, schema)
+
+
+def extract_import_edges(source: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Import edges: (repo, pathA) → (repo, pathB) when A imports B's
+    module name, same repo. Pure JVM path: regexp_extract_all + explode +
+    two dictionary joins."""
+    # one CASE over languages so a single pass handles all files
+    out = None
+    for lg, pat in IMPORT_PATTERNS.items():
+        clause = F.regexp_extract_all(F.col("content"), F.lit(pat), 1)
+        out = (
+            F.when(F.col("lang") == lg, clause)
+            if out is None
+            else out.when(F.col("lang") == lg, clause)
+        )
+    imports = source.select("repo", "path", F.explode(out).alias("target_mod"))
+    # resolve target module → target path within the same repo: module
+    # name appears as the path stem src/<dir>/<mod>.<ext>
+    v = vertices.withColumn(
+        "mod", F.regexp_extract(F.col("path"), r"/([A-Za-z0-9_]+)\.[a-z]+$", 1)
+    )
+    src_v = vertices.select(
+        F.col("repo").alias("r1"), F.col("path").alias("p1"), F.col("id").alias("src")
+    )
+    dst_v = v.select(
+        F.col("repo").alias("r2"), F.col("mod").alias("m2"), F.col("id").alias("dst")
+    )
+    edges = (
+        imports.join(
+            src_v, (imports["repo"] == src_v["r1"]) & (imports["path"] == src_v["p1"])
+        )
+        .join(dst_v, (imports["repo"] == dst_v["r2"]) & (imports["target_mod"] == dst_v["m2"]))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return edges.withColumn("val", F.lit(1.0))
+
+
+def extract_commit_edges(
+    source: DataFrame, vertices: DataFrame, cap_per_commit: int = 20
+) -> DataFrame:
+    """Commit co-occurrence: clique over paths sharing a commit, capped.
+
+    The cap bounds the per-commit clique at cap²/2 pairs — giant
+    refactoring commits otherwise explode quadratically (classic skew).
+    Members are ranked by vertex id inside each commit (deterministic);
+    the self-join emits each unordered pair once (id1 < id2) and both
+    directions are returned.
+    """
+    from pyspark.sql import Window
+
+    member = (
+        source.select("repo", "path", "commit")
+        .join(vertices, ["repo", "path"])
+        .select("commit", "id")
+        .distinct()
+    )
+    w = Window.partitionBy("commit").orderBy("id")
+    capped = member.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= cap_per_commit
+    )
+    a = capped.select(F.col("commit"), F.col("id").alias("src"))
+    b = capped.select(F.col("commit"), F.col("id").alias("dst"))
+    pairs = a.join(b, "commit").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    both = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return both.withColumn("val", F.lit(1.0))
+
+
+def build_edges(
+    source: DataFrame,
+    vertices: DataFrame | None = None,
+    include_imports: bool = True,
+    include_commits: bool = True,
+    cap_per_commit: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Full edge build: returns (vertices, edges) with edges =
+    import ∪ commit-co-occurrence, distinct, val=1.0."""
+    if vertices is None:
+        vertices = build_vertices(source)
+    parts = []
+    if include_imports:
+        parts.append(extract_import_edges(source, vertices))
+    if include_commits:
+        parts.append(extract_commit_edges(source, vertices, cap_per_commit))
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    edges = edges.select("src", "dst").distinct().withColumn("val", F.lit(1.0))
+    return vertices, edges
+
+
+def content_sha(source: DataFrame) -> DataFrame:
+    """Per-row sha256 of content — the input_hint invariant column."""
+    return source.withColumn("content_sha", F.sha2(F.col("content"), 256))
