@@ -1,0 +1,284 @@
+"""Deduplication operators — exact and near-duplicate, scan-scale.
+
+Four families, each a standalone DataFrame op:
+
+- ``exact_duplicates``: hash-groupBy on normalized sha256 — one shuffle,
+  map-side partial agg; at 100 TB this is the cheapest possible dedup
+  (shuffle only the 32-byte hash + id, never the text).
+- ``minhash_lsh_candidates``: shingle → minhash (k permutations via
+  xxhash64 seeds) → band → bucket self-join → candidate pairs (+ exact
+  Jaccard verification on candidates only). The self-join shuffles only
+  (band_id, band_hash, doc_id) — the classic sub-quadratic near-dup path.
+- ``simhash_signatures``: 64-bit SimHash per doc (per-bit majority of
+  token hashes) — near-dups have small Hamming distance; banding over
+  16-bit chunks gives the candidate join.
+- ``ngram_jaccard_pairs``: exact word-n-gram Jaccard over all pairs that
+  share ≥1 shingle (explode + self-join on shingle + count ratio) —
+  quadratic in the worst case, exact; the verification oracle for LSH.
+
+Everything is arrays + higher-order functions (transform / aggregate /
+explode) — JVM-side, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _normalized(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def _word_shingles(text: Column, n: int) -> Column:
+    """Array of word n-gram shingles (distinct)."""
+    tokens = F.split(_normalized(text), " ")
+    k = F.size(tokens) - (n - 1)
+    return F.when(k <= 0, F.array(_normalized(text))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical (after whitespace/case normalization)
+    documents: returns (norm_sha, n_dups, keep_id, dup_ids) for groups
+    with n > 1. ``keep_id`` = min id (deterministic survivor)."""
+    h = F.sha2(_normalized(F.col(text_col)), 256)
+    return (
+        df.select(F.col(id_col).alias("doc_id"), h.alias("norm_sha"))
+        .groupBy("norm_sha")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("dup_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, sig: array<long>[num_perm]) — sig[j] = min over shingles
+    of xxhash64(shingle, seed=j). One pass, all JVM expressions."""
+    sh = _word_shingles(F.col(text_col), shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(s, F.lit(j))))
+            for j in range(num_perm)
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b; when
+    ``verify_threshold`` is set, candidates are verified with exact
+    shingle Jaccard (computed only for candidates) and filtered.
+    """
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.select(
+        F.col("band"), F.col("bucket"), F.col("doc_id").alias("id_a")
+    )
+    b = banded.select(
+        F.col("band"), F.col("bucket"), F.col("doc_id").alias("id_b")
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand.withColumn("jaccard", F.lit(None).cast("double"))
+    # verify candidates only: join shingle sets back, exact Jaccard
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        _word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    j = (
+        cand.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= verify_threshold)
+
+
+# ---------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """(doc_id, simhash: long) — per-bit majority vote of token hashes.
+
+    bit b of simhash = 1 iff Σ_tokens sign(bit b of xxhash64(token)) > 0.
+    Expressed as one aggregate() over the token array per bit — 64 JVM
+    expressions, still one scan, no shuffle.
+    """
+    tokens = F.split(_normalized(F.col(text_col)), " ")
+    th = F.transform(tokens, lambda t: F.xxhash64(t))
+    bit_exprs = []
+    for b in range(bits):
+        vote = F.aggregate(
+            th,
+            F.lit(0),
+            lambda acc, h, b=b: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_exprs.append(
+            F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            * F.lit(1 << b).cast("long")
+        )
+    sig = sum(bit_exprs[1:], bit_exprs[0])
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: 4 chunks of 16 bits — any pair
+    within Hamming ≤ 3 of a 64-bit signature must agree exactly on ≥1
+    chunk (pigeonhole), so the bucket join finds all of them."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk", "cc.key")
+    a = chunks.select("chunk", "key", F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    b = chunks.select("chunk", "key", F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    return (
+        a.join(b, ["chunk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", simhash_hamming(F.col("sig_a"), F.col("sig_b")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------
+# exact n-gram Jaccard (the LSH verification oracle)
+# ---------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard ≥ threshold pairs via shingle inverted index:
+    explode shingles → self-join on shingle → intersection counts →
+    |A∩B| / (|A| + |B| - |A∩B|). Exact but worst-case quadratic — the
+    ground truth for LSH recall tests and fine at verification scale."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("shingle"), F.col("doc_id").alias("id_a"))
+    b = sh.select(F.col("shingle"), F.col("doc_id").alias("id_b"))
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,102 @@
+"""Text analysis over the ``documents`` table — pure column expressions.
+
+All four analyses (language-ID, quality scoring, token counting, document
+fingerprinting) compile to whole-stage-codegen JVM expressions: at 100 TB
+these run at scan speed with column pruning (only ``text`` is read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker stopwords per language for the n-gram/stopword heuristic;
+# deliberately small and explicit so the DuckDB oracle can replicate it
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "los", "de"],
+}
+
+
+def _word_count(text: Column, word: str) -> Column:
+    """Occurrences of a whole word, case-insensitive — regexp_count is
+    JVM-side and identical in DuckDB."""
+    return F.regexp_count(F.lower(text), F.lit(rf"\b{word}\b"))
+
+
+def add_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``lang_pred``: argmax of marker-word hits per language,
+    ties broken by language-code order, 'und' when nothing matches."""
+    t = F.col(text_col)
+    scores = [
+        (code, sum_expr)
+        for code, words in LANG_MARKERS.items()
+        for sum_expr in [
+            sum((_word_count(t, w) for w in words), F.lit(0))
+        ]
+    ]
+    best = None
+    for code, s in scores:
+        cand = F.struct(s.alias("score"), F.lit(code).alias("code"))
+        best = cand if best is None else F.when(s > best["score"], cand).otherwise(best)
+    pred = F.when(best["score"] > 0, best["code"]).otherwise(F.lit("und"))
+    return df.withColumn("lang_pred", pred)
+
+
+def add_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality features + a composite score:
+
+    - ``n_chars_q``: length
+    - ``punct_ratio``: punctuation chars / length
+    - ``stopword_ratio``: english marker words / word count
+    - ``mean_word_len``
+    - ``quality_score``: in [0,1]; length-normalized, penalizes extreme
+      punctuation and zero stopwords (boilerplate/code smell)
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.when(F.length(F.trim(t)) == 0, 0).otherwise(F.size(words))
+    stop_hits = sum((_word_count(t, w) for w in LANG_MARKERS["en"]), F.lit(0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(0.0)
+    mean_wl = F.when(n_words > 0, (n_chars - n_words + 1) / n_words).otherwise(0.0)
+    length_score = F.least(n_chars / 500.0, F.lit(1.0))
+    score = (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 4.0, F.lit(1.0)))
+    )
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("mean_word_len", F.round(mean_wl, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def add_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``ws_tokens`` (whitespace split) and ``bpe_tokens``
+    (BPE-ish regex: word pieces + digits + punctuation as separate
+    tokens — the standard pre-tokenizer shape)."""
+    t = F.col(text_col)
+    ws = F.when(F.length(F.trim(t)) == 0, 0).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    )
+    bpe = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), 0))
+    return df.withColumn("ws_tokens", ws).withColumn("bpe_tokens", bpe)
+
+
+def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``fingerprint``: 64-bit hash of whitespace-normalized,
+    lowercased text (xxhash64 — one JVM call), plus ``norm_sha``:
+    sha256 of the same normalization (engine-portable; DuckDB has sha256
+    so the oracle can check it exactly)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn("fingerprint", F.xxhash64(norm)).withColumn(
+        "norm_sha", F.sha2(norm, 256)
+    )

@@ -1,0 +1,84 @@
+"""Replicates the driver's correctness gate locally: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at
+sf0.01, compare row count + order-insensitive values."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.01"
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(rows, cols):
+    out = []
+    for r in rows:
+        d = dict(zip(cols, r)) if not isinstance(r, dict) else r
+        key = []
+        for c in sorted(cols):
+            v = d[c]
+            if isinstance(v, float):
+                v = round(v, 6)
+            key.append((c, v))
+        out.append(tuple(key))
+    return sorted(out)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["id", "rank"]
+
+
+ORACLE = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_vs_oracle(spark, duck, name):
+    qdf = QUERIES[name](spark, SF)
+    spark_cols = qdf.columns
+    spark_rows = [tuple(r) for r in qdf.collect()]
+
+    res = duck.execute(ORACLE[name])
+    duck_cols = [c[0] for c in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), f"{name} schema mismatch"
+    a = _norm(spark_rows, spark_cols)
+    b = _norm(duck_rows, duck_cols)
+    assert len(a) == len(b), f"{name}: rows {len(a)} vs {len(b)}"
+    assert a == b, f"{name}: value mismatch (first diff: {next((x, y) for x, y in zip(a, b) if x != y)})"
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(QUERIES) - set(ORACLE))
+)
+def test_rows_only_queries(spark, name):
+    df = QUERIES[name](spark, SF)
+    assert df.count() >= 0
