@@ -1,0 +1,9 @@
+"""Arrow-vectorized kernels — the Python fast path.
+
+Used only where DataFrame built-ins can't express the computation shape:
+the per-partition CSR SpMV gather-scatter (the reference's Python⇄C array
+boundary, SURVEY.md §1.3, becomes our Spark⇄numpy Arrow boundary)."""
+
+from pygraphblas_spark.kernels.csr import spmv_csr
+
+__all__ = ["spmv_csr"]

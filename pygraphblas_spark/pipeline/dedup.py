@@ -83,12 +83,13 @@ def minhash_signatures(
     """(doc_id, sig: array<long>[num_perm]) — sig[j] = min over shingles
     of xxhash64(shingle, seed=j). One pass, all JVM expressions."""
     sh = _word_shingles(F.col(text_col), shingle_n)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(s, F.lit(j))))
-            for j in range(num_perm)
-        ]
-    )
+
+    # NB: closure factory, not `lambda s, j=j:` — a default arg makes the
+    # lambda binary and PySpark then binds it as the (element, index) form.
+    def perm_hash(j):
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(j))))
+
+    sig = F.array(*[perm_hash(j) for j in range(num_perm)])
     return df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
 
 
@@ -179,17 +180,27 @@ def simhash_signatures(
     """
     tokens = F.split(_normalized(F.col(text_col)), " ")
     th = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    # closure factory (see perm_hash note above); init cast to long so the
+    # merge lambda's result type matches the accumulator type
+    def bit_vote(b):
+        return F.aggregate(
+            th,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long"),
+        )
+
     bit_exprs = []
     for b in range(bits):
-        vote = F.aggregate(
-            th,
-            F.lit(0),
-            lambda acc, h, b=b: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+        # shiftleft wraps to the sign bit at b=63 (two's complement) —
+        # a Python literal 1<<63 would overflow LongType
         bit_exprs.append(
-            F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-            * F.lit(1 << b).cast("long")
+            F.when(bit_vote(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
         )
     sig = sum(bit_exprs[1:], bit_exprs[0])
     return df.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
