@@ -201,6 +201,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return label_propagation(_edges(spark, sf), max_iters=10)
 
+    # ---- training-data pipeline queries (documents / embeddings) ----
+
+    def exact_dedup(spark, sf):
+        from pygraphblas_spark.pipeline.dedup import exact_duplicates
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return exact_duplicates(docs).select("norm_sha", "n_dups", "keep_id")
+
+    def token_counts(spark, sf):
+        from pygraphblas_spark.pipeline.text import add_token_counts
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return add_token_counts(docs).select("doc_id", "ws_tokens", "bpe_tokens")
+
+    def lang_id(spark, sf):
+        from pygraphblas_spark.pipeline.text import add_language_id
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return add_language_id(docs).select("doc_id", "lang_pred")
+
+    def doc_fingerprint(spark, sf):
+        from pygraphblas_spark.pipeline.text import add_fingerprint
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return add_fingerprint(docs).select("doc_id", "norm_sha")
+
+    def cosine_topk(spark, sf):
+        from pygraphblas_spark.pipeline.similarity import cosine_topk_bruteforce
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 8)
+        return cosine_topk_bruteforce(emb, q, k=5).select(
+            "query_id", "neighbor_id", "rank"
+        )
+
+    def minhash_near_dups(spark, sf):
+        # xxhash64 has no DuckDB twin → rows-only; correctness is covered
+        # by tests/test_pipeline.py recall-vs-exact-Jaccard property
+        from pygraphblas_spark.pipeline.dedup import minhash_lsh_candidates
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").limit(300)
+        return minhash_lsh_candidates(docs, verify_threshold=0.5)
+
+    def simhash_sigs(spark, sf):
+        from pygraphblas_spark.pipeline.dedup import simhash_signatures
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").limit(300)
+        return simhash_signatures(docs)
+
     def codegraph_pagerank(spark, sf):
         # full input_hint pipeline: synth source table → edges → pagerank
         from pygraphblas_spark.algorithms import pagerank
@@ -230,6 +279,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": connected_components_q,
         "label_propagation": label_propagation_q,
         "codegraph_pagerank": codegraph_pagerank,
+        "exact_dedup": exact_dedup,
+        "token_counts": token_counts,
+        "lang_id": lang_id,
+        "doc_fingerprint": doc_fingerprint,
+        "cosine_topk": cosine_topk,
+        "minhash_near_dups": minhash_near_dups,
+        "simhash_sigs": simhash_sigs,
     }
 
 
@@ -268,6 +324,48 @@ def oracle_sql() -> dict[str, str]:
             "FULL OUTER JOIN "
             "(SELECT o_custkey AS id, COUNT(*) AS val FROM (SELECT DISTINCT o_custkey, o_orderkey FROM orders) GROUP BY o_custkey) d2 "
             "ON d1.id = d2.id"
+        ),
+        "exact_dedup": (
+            r"SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_sha, "
+            "COUNT(*) AS n_dups, MIN(doc_id) AS keep_id "
+            "FROM documents GROUP BY 1 HAVING COUNT(*) > 1"
+        ),
+        "token_counts": (
+            "SELECT doc_id, "
+            r"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens, "
+            r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]', 0)) AS bpe_tokens "
+            "FROM documents"
+        ),
+        "lang_id": (
+            "WITH s AS (SELECT doc_id, "
+            r"len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b', 0)) AS en, "
+            r"len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das)\b', 0)) AS de, "
+            r"len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b', 0)) AS fr, "
+            r"len(regexp_extract_all(lower(text), '\b(el|la|que|los|de)\b', 0)) AS es "
+            "FROM documents) "
+            "SELECT doc_id, CASE WHEN GREATEST(en, de, fr, es) = 0 THEN 'und' "
+            "WHEN en = GREATEST(en, de, fr, es) THEN 'en' "
+            "WHEN de = GREATEST(en, de, fr, es) THEN 'de' "
+            "WHEN fr = GREATEST(en, de, fr, es) THEN 'fr' ELSE 'es' END AS lang_pred "
+            "FROM s"
+        ),
+        "doc_fingerprint": (
+            r"SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_sha "
+            "FROM documents"
+        ),
+        "cosine_topk": (
+            "WITH scored AS ( "
+            "  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, "
+            "         ROUND(list_dot_product(q.embedding, b.embedding) / "
+            "               (sqrt(list_dot_product(q.embedding, q.embedding)) * "
+            "                sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS cos "
+            "  FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id "
+            "  WHERE q.vec_id < 8 "
+            "), ranked AS ( "
+            "  SELECT query_id, neighbor_id, "
+            "         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank "
+            "  FROM scored) "
+            "SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5"
         ),
         "triangle_count": (
             "WITH co AS ( "

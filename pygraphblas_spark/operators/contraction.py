@@ -67,9 +67,14 @@ def mxm(
         mkeys = _truthy_mask(mask, desc.mask_structural).select(
             F.col("src").alias("__i"), F.col("dst").alias("__j")
         )
-        # Prune each input to rows that can contribute to ANY masked cell.
-        an = an.join(mkeys.select("__i").distinct(), on="__i", how="left_semi")
-        bn = bn.join(mkeys.select("__j").distinct(), on="__j", how="left_semi")
+        # Pre-prune each input to rows that can contribute to ANY masked
+        # cell — but only when the mask is a *different* relation: when
+        # mask is one of the inputs (the triangle-count idiom
+        # L.mxm(L, mask=L)) the prune is an identity and would only add
+        # two distinct+semi-join shuffles per side.
+        if mask is not a and mask is not b:
+            an = an.join(mkeys.select("__i").distinct(), on="__i", how="left_semi")
+            bn = bn.join(mkeys.select("__j").distinct(), on="__j", how="left_semi")
 
     joined = an.join(bn, on="__k")
 

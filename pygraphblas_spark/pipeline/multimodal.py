@@ -86,7 +86,7 @@ def _fake_feature(data: bytes, dim: int) -> list[float]:
     h = data
     while len(out) < dim:
         h = hashlib.sha256(h).digest()
-        out.extend(b / 255.0 for b in h)
+        out.extend(b / 256.0 for b in h)
     return [float(x) for x in out[:dim]]
 
 

@@ -1,0 +1,24 @@
+"""Structured Streaming surface.
+
+The reference has no streaming (SURVEY.md §2.10) — this module covers the
+brief's streaming axis with the idiomatic Spark shapes a streaming link
+graph needs: edge-stream ingestion, incremental degree state, watermarked
+windowed event aggregation, and micro-batch graph maintenance via
+foreachBatch.
+"""
+
+from pygraphblas_spark.streaming.core import (
+    stream_edges_from_files,
+    streaming_out_degree,
+    windowed_event_counts,
+    run_to_completion,
+    incremental_graph_maintenance,
+)
+
+__all__ = [
+    "stream_edges_from_files",
+    "streaming_out_degree",
+    "windowed_event_counts",
+    "run_to_completion",
+    "incremental_graph_maintenance",
+]

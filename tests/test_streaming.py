@@ -1,0 +1,103 @@
+"""Structured Streaming tests — file sources + availableNow triggers, so
+every run is deterministic and self-terminating."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pygraphblas_spark.streaming import (
+    incremental_graph_maintenance,
+    run_to_completion,
+    stream_edges_from_files,
+    streaming_out_degree,
+    windowed_event_counts,
+)
+
+
+def write_edge_files(d, batches):
+    os.makedirs(d, exist_ok=True)
+    for i, rows in enumerate(batches):
+        with open(os.path.join(d, f"b{i}.json"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+
+def test_streaming_out_degree(spark, tmp_path):
+    src_dir = str(tmp_path / "edges")
+    write_edge_files(
+        src_dir,
+        [
+            [
+                {"src": 0, "dst": 1, "val": 1.0, "ts": "2026-01-01T00:00:00Z"},
+                {"src": 0, "dst": 2, "val": 1.0, "ts": "2026-01-01T00:00:01Z"},
+                {"src": 1, "dst": 2, "val": 1.0, "ts": "2026-01-01T00:00:02Z"},
+            ]
+        ],
+    )
+    edges = stream_edges_from_files(spark, src_dir)
+    assert edges.isStreaming
+    deg = streaming_out_degree(edges)
+    run_to_completion(
+        deg, str(tmp_path / "ckpt"), output_mode="complete", query_name="deg"
+    )
+    got = {r["id"]: r["degree"] for r in spark.sql("SELECT * FROM deg").collect()}
+    assert got == {0: 2, 1: 1}
+
+
+def test_windowed_event_counts(spark, tmp_path):
+    src_dir = str(tmp_path / "ev")
+    write_edge_files(
+        src_dir,
+        [
+            [
+                {"src": 1, "dst": 1, "val": 1.0, "ts": "2026-01-01T00:00:10Z"},
+                {"src": 1, "dst": 1, "val": 1.0, "ts": "2026-01-01T00:00:50Z"},
+                {"src": 1, "dst": 1, "val": 1.0, "ts": "2026-01-01T00:01:10Z"},
+            ]
+        ],
+    )
+    ev = stream_edges_from_files(spark, src_dir)
+    win = windowed_event_counts(ev, window="1 minute", watermark="2 minutes")
+    run_to_completion(
+        win, str(tmp_path / "ckpt2"), output_mode="complete", query_name="win"
+    )
+    rows = spark.sql("SELECT * FROM win ORDER BY window_start").collect()
+    assert [r["n"] for r in rows] == [2, 1]
+
+
+def test_incremental_graph_maintenance(spark, tmp_path):
+    src_dir = str(tmp_path / "stream_in")
+    table = str(tmp_path / "graph.parquet")
+    write_edge_files(
+        src_dir,
+        [
+            [
+                {"src": 0, "dst": 1, "val": 1.0, "ts": "2026-01-01T00:00:00Z"},
+                {"src": 0, "dst": 1, "val": 1.0, "ts": "2026-01-01T00:00:01Z"},
+                {"src": 2, "dst": 3, "val": 1.0, "ts": "2026-01-01T00:00:02Z"},
+            ]
+        ],
+    )
+    incremental_graph_maintenance(spark, src_dir, table, str(tmp_path / "c1"))
+    t1 = spark.read.parquet(table)
+    assert t1.count() == 2  # in-batch dup removed
+
+    # second stream batch: one duplicate of existing, one new
+    write_edge_files(
+        src_dir.replace("stream_in", "stream_in2"),
+        [
+            [
+                {"src": 0, "dst": 1, "val": 9.0, "ts": "2026-01-01T00:01:00Z"},
+                {"src": 4, "dst": 5, "val": 1.0, "ts": "2026-01-01T00:01:01Z"},
+            ]
+        ],
+    )
+    incremental_graph_maintenance(
+        spark, src_dir.replace("stream_in", "stream_in2"), table, str(tmp_path / "c2")
+    )
+    t2 = spark.read.parquet(table)
+    assert t2.count() == 3  # existing (0,1) not re-appended
+    pairs = {(r["src"], r["dst"]) for r in t2.collect()}
+    assert pairs == {(0, 1), (2, 3), (4, 5)}
