@@ -34,12 +34,14 @@ from pygraphblas_spark.algebra import (
 )
 from pygraphblas_spark.matrix import Matrix
 from pygraphblas_spark.vector import Vector
+from pygraphblas_spark.scalar import Scalar
 from pygraphblas_spark.descriptor import Descriptor, T0, T1, C, S, R, RC, RS, RSC, T0T1
 
 __all__ = [
     "get_spark",
     "Matrix",
     "Vector",
+    "Scalar",
     "UnaryOp",
     "BinaryOp",
     "Monoid",

@@ -860,6 +860,80 @@ class Matrix:
     # Comparison / equality (reference matrix.py:2323-2457)
     # ------------------------------------------------------------------
 
+    def _full(self) -> "Matrix":
+        """Densify: stored values + type-one everywhere else (reference
+        ``_full`` matrix.py:2323-2341). Requires concrete (small) dims —
+        used only by matrix-vs-matrix comparison."""
+        dense = Matrix.dense(
+            self.df.sparkSession,
+            self.typ,
+            self.nrows,
+            self.ncols,
+            fill=gbtypes.default_one(self.typ),
+        )
+        return self.eadd(dense, "FIRST")
+
+    def _compare(self, other, pyop, strop: str) -> "Matrix":
+        """Comparison semantics per reference ``_compare``
+        (matrix.py:2343-2360): scalar compare keeps the stored pattern
+        when ``pyop(other, 0)`` holds (values become booleans), else only
+        the cells where the predicate is true (select + ONE); matrix
+        compare densifies both sides first."""
+        if isinstance(other, (bool, int, float)):
+            if pyop(other, 0):
+                op = _coerce_binop(
+                    {"==": "EQ", "!=": "NE", ">": "GT", "<": "LT", ">=": "GE", "<=": "LE"}[strop]
+                )
+                df = self.df.select(
+                    "src", "dst", op(F.col(VAL), F.lit(other)).alias(VAL)
+                )
+                return Matrix(df, self.nrows, self.ncols, "BOOL")
+            sel = self.select(strop, other)
+            return sel.pattern("BOOL")
+        if isinstance(other, Matrix):
+            a, b = self._full(), other._full()
+            op = _coerce_binop(
+                {"==": "EQ", "!=": "NE", ">": "GT", "<": "LT", ">=": "GE", "<=": "LE"}[strop]
+            )
+            res = a.emult(b, op)
+            res.typ = "BOOL"
+            return res
+        raise TypeError("Unknown matrix comparison type.")
+
+    def __gt__(self, other):
+        import operator
+
+        return self._compare(other, operator.gt, ">")
+
+    def __lt__(self, other):
+        import operator
+
+        return self._compare(other, operator.lt, "<")
+
+    def __ge__(self, other):
+        import operator
+
+        return self._compare(other, operator.ge, ">=")
+
+    def __le__(self, other):
+        import operator
+
+        return self._compare(other, operator.le, "<=")
+
+    def __eq__(self, other):
+        import operator
+
+        if other is None:
+            return False
+        return self._compare(other, operator.eq, "==")
+
+    def __ne__(self, other):
+        import operator
+
+        return self._compare(other, operator.ne, "!=")
+
+    __hash__ = object.__hash__  # __eq__ is element-wise, not identity
+
     def iseq(self, other: "Matrix") -> bool:
         """Shape + pattern + values equality (reference matrix.py:1436)."""
         if self.shape != other.shape:
@@ -945,6 +1019,78 @@ class Matrix:
 
     def to_dict(self) -> dict:
         return {(r["src"], r["dst"]): r[VAL] for r in self.df.collect()}
+
+    def to_string(self, empty: str = "-") -> str:
+        """Small-matrix debug render (reference matrix.py:3458)."""
+        d = self.to_dict()
+        lines = []
+        for i in range(self.nrows):
+            lines.append(
+                " ".join(
+                    str(d[(i, j)]) if (i, j) in d else empty
+                    for j in range(self.ncols)
+                )
+            )
+        return "\n".join(lines)
+
+    def to_markdown_table(self, title: str = "A") -> str:
+        """Markdown render (reference matrix.py:3355)."""
+        d = self.to_dict()
+        head = f"|{title}|" + "|".join(str(j) for j in range(self.ncols)) + "|"
+        sep = "|---" * (self.ncols + 1) + "|"
+        rows = [
+            f"|{i}|" + "|".join(
+                str(d[(i, j)]) if (i, j) in d else " " for j in range(self.ncols)
+            ) + "|"
+            for i in range(self.nrows)
+        ]
+        return "\n".join([head, sep] + rows)
+
+    def to_html_table(self, title: str = "A") -> str:
+        """HTML render (reference matrix.py:3381)."""
+        d = self.to_dict()
+        cells = "".join(
+            "<tr><th>{}</th>{}</tr>".format(
+                i,
+                "".join(
+                    f"<td>{d[(i, j)]}</td>" if (i, j) in d else "<td></td>"
+                    for j in range(self.ncols)
+                ),
+            )
+            for i in range(self.nrows)
+        )
+        header = "<tr><th>{}</th>{}</tr>".format(
+            title, "".join(f"<th>{j}</th>" for j in range(self.ncols))
+        )
+        return f"<table>{header}{cells}</table>"
+
+    def assign_row(self, i: int, v: "Vector", accum=None) -> "Matrix":
+        """Row upsert from a Vector (reference matrix.py:3031)."""
+        row = v.df.select(
+            F.lit(int(i)).cast("long").alias("src"),
+            F.col("id").alias("dst"),
+            F.col(VAL).cast(gbtypes.spark_type(self.typ)),
+        )
+        if accum is not None:
+            merged = core.ewise_add(self.df, row, EDGE_SCHEMA_KEYS, _coerce_binop(accum))
+        else:
+            rest = self.df.join(row.select("src", "dst"), EDGE_SCHEMA_KEYS, "left_anti")
+            merged = row.unionByName(rest)
+        return Matrix(merged, self.nrows, self.ncols, self.typ)
+
+    def assign_col(self, j: int, v: "Vector", accum=None) -> "Matrix":
+        """Column upsert from a Vector (reference matrix.py:3005)."""
+        col = v.df.select(
+            F.col("id").alias("src"),
+            F.lit(int(j)).cast("long").alias("dst"),
+            F.col(VAL).cast(gbtypes.spark_type(self.typ)),
+        )
+        if accum is not None:
+            merged = core.ewise_add(self.df, col, EDGE_SCHEMA_KEYS, _coerce_binop(accum))
+        else:
+            rest = self.df.join(col.select("src", "dst"), EDGE_SCHEMA_KEYS, "left_anti")
+            merged = col.unionByName(rest)
+        return Matrix(merged, self.nrows, self.ncols, self.typ)
 
     def __iter__(self):
         for r in self.df.toLocalIterator():

@@ -103,6 +103,32 @@ class Vector:
         return cls(df, size, typ)
 
     @classmethod
+    def random(
+        cls,
+        spark: SparkSession,
+        typ: str,
+        nvals: int,
+        size: int,
+        seed: int = 42,
+    ) -> "Vector":
+        """Deterministic hash-based random vector (reference
+        vector.py:289) — same distributed generator discipline as
+        Matrix.random."""
+        h = lambda salt: F.abs(F.xxhash64(F.col("id"), F.lit(seed), F.lit(salt)))
+        df = spark.range(nvals).select(
+            (h("i") % size).alias("id"),
+            (
+                (h("v") % 1000000).cast("double") / 1000000.0
+                if typ.upper() in ("FP32", "FP64")
+                else (h("v") % 100)
+            )
+            .cast(gbtypes.spark_type(typ))
+            .alias(VAL),
+        )
+        df = df.groupBy("id").agg(F.first(VAL).alias(VAL))
+        return cls(df, size, typ)
+
+    @classmethod
     def from_1_to_n(cls, spark: SparkSession, n: int) -> "Vector":
         """[1..n] (reference vector.py:370)."""
         df = spark.range(n).select(F.col("id"), (F.col("id") + 1).alias(VAL))
