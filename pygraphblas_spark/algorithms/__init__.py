@@ -11,6 +11,7 @@ from pygraphblas_spark.algorithms.labelprop import label_propagation
 from pygraphblas_spark.algorithms.triangles import triangle_count, triangle_count_sandia
 from pygraphblas_spark.algorithms.bfs import bfs_levels
 from pygraphblas_spark.algorithms.sssp import sssp
+from pygraphblas_spark.algorithms.ktruss import k_truss
 
 __all__ = [
     "pagerank",
@@ -20,4 +21,5 @@ __all__ = [
     "triangle_count_sandia",
     "bfs_levels",
     "sssp",
+    "k_truss",
 ]
