@@ -17,11 +17,22 @@ function (JVM fast path) or a pandas aggregate (Arrow path) — see
 
 from __future__ import annotations
 
+import contextvars
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# Context-manager operator defaults, mirroring the reference's contextvars
+# (semiring.py:24,58-64; binaryop.py:24-25,52-58; monoid.py:53-59):
+# `with semiring("MIN_PLUS"): A @ B` uses MIN_PLUS without passing it.
+current_semiring: contextvars.ContextVar = contextvars.ContextVar(
+    "current_semiring", default=None
+)
+current_accum: contextvars.ContextVar = contextvars.ContextVar(
+    "current_accum", default=None
+)
 
 
 # --------------------------------------------------------------------------
@@ -277,7 +288,8 @@ _MONOID["BXOR"] = Monoid("BXOR", lambda c: F.bit_xor(c), 0, binary_op("BXOR"))
 
 @dataclass(frozen=True)
 class Semiring:
-    """(⊕ add-monoid, ⊗ multiply-binop).
+    """(⊕ add-monoid, ⊗ multiply-binop). Usable as a context manager to
+    set the default semiring for `@` (reference tests/test_matrix.py:265-290).
 
     ``agg_direct`` short-circuits the compiled ``agg(mul(a,b))`` with a
     cheaper equivalent aggregate when one exists — e.g. PLUS_PAIR is
@@ -294,6 +306,13 @@ class Semiring:
         if self.agg_direct is not None:
             return self.agg_direct(a, b)
         return self.add(self.mul(a, b))
+
+    def __enter__(self) -> "Semiring":
+        object.__setattr__(self, "_cv_token", current_semiring.set(self))
+        return self
+
+    def __exit__(self, *exc) -> None:
+        current_semiring.reset(object.__getattribute__(self, "_cv_token"))
 
 
 _SEMIRING: dict[str, Semiring] = {}

@@ -94,22 +94,21 @@ def pagerank(
             .groupBy(e["dst"].alias("id"))
             .agg(F.sum("w").alias("c"))
         )
-        # r = teleport + contrib (accum=PLUS onto r[:]=teleport)
-        r_new = (
-            spark.range(n)
-            .join(contrib, "id", "left_outer")
-            .select(
-                "id",
-                (F.lit(teleport) + F.coalesce(F.col("c"), F.lit(0.0))).alias("rank"),
-            )
+        # fused update + convergence pass: t covers every vertex 0..n-1,
+        # so one left join produces both the new rank and the per-vertex
+        # L1 term — one materialization, one tiny agg action per
+        # iteration (no second join against the new state)
+        merged = t.join(contrib, "id", "left_outer").select(
+            "id",
+            (F.lit(teleport) + F.coalesce(F.col("c"), F.lit(0.0))).alias("rank"),
+            F.abs(
+                F.col("rank")
+                - (F.lit(teleport) + F.coalesce(F.col("c"), F.lit(0.0)))
+            ).alias("__diff"),
         )
-        r_new = ckpt.cut(r_new)
-        # convergence: L1 diff — the single action per iteration
-        rdiff = (
-            t.join(r_new, "id")
-            .agg(F.sum(F.abs(t["rank"] - r_new["rank"])))
-            .first()[0]
-        )
+        merged = ckpt.cut(merged)
+        rdiff = merged.agg(F.sum("__diff")).first()[0]
+        r_new = merged.select("id", "rank")
         iters = it + 1
         states = ckpt.save(iters, {"rank": r_new}, {"rdiff": rdiff, "n": n})
         r = states["rank"]

@@ -1119,11 +1119,16 @@ class Matrix:
         return Matrix(merged, self.nrows, self.ncols, self.typ)
 
     def _default_semiring(self, other, sr):
-        """Resolve semiring: explicit → type default (reference
-        matrix.py:2553-2568; defaults types.py:149-158, BOOL→LOR_LAND
-        types.py:190-200)."""
+        """Resolve semiring: explicit → contextvar (`with semiring(...):`)
+        → type default (reference matrix.py:2553-2568; defaults
+        types.py:149-158, BOOL→LOR_LAND types.py:190-200)."""
         if sr is not None:
             return _coerce_semiring(sr)
+        from pygraphblas_spark.algebra import current_semiring
+
+        ctx = current_semiring.get()
+        if ctx is not None:
+            return ctx
         t = gbtypes.promote(self.typ, other.typ)
         return semiring("LOR_LAND" if t == "BOOL" else "PLUS_TIMES")
 

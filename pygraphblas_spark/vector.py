@@ -265,6 +265,11 @@ class Vector:
         return self.vxm(matrix)
 
     def _default_semiring(self, other):
+        from pygraphblas_spark.algebra import current_semiring
+
+        ctx = current_semiring.get()
+        if ctx is not None:
+            return ctx
         t = gbtypes.promote(self.typ, other.typ)
         return semiring("LOR_LAND" if t == "BOOL" else "PLUS_TIMES")
 

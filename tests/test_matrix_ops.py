@@ -114,6 +114,19 @@ def test_mxm_plus_plus(spark):
     assert o.iseq(ML(spark, [0, 1, 2], [2, 0, 1], [4, 6, 5]))
 
 
+def test_mxm_context_manager(spark):
+    # reference tests/test_matrix.py:265-290: `with INT64.PLUS_PLUS: m @ n`
+    from pygraphblas_spark.algebra import semiring
+
+    m = ML(spark, [0, 1, 2], [1, 2, 0], [1, 2, 3])
+    n = ML(spark, [0, 1, 2], [1, 2, 0], [2, 3, 4])
+    with semiring("PLUS_PLUS"):
+        o = m @ n
+    assert o.iseq(ML(spark, [0, 1, 2], [2, 0, 1], [4, 6, 5]))
+    # default restored outside the context
+    assert (m @ n).iseq(ML(spark, [0, 1, 2], [2, 0, 1], [3, 8, 6]))
+
+
 def test_mxm_transpose_desc(spark):
     m = ML(spark, [0, 1, 2], [1, 2, 0], [1, 2, 3])
     n = ML(spark, [0, 1, 2], [1, 2, 0], [2, 3, 4])
