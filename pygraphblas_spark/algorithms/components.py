@@ -26,7 +26,8 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pygraphblas_spark.plans.checkpoint import CheckpointManager
+from pygraphblas_spark.plans.checkpoint import CheckpointManager, release_state
+from pygraphblas_spark.algorithms.pagerank import BROADCAST_MAX_ROWS
 
 
 def connected_components(
@@ -52,6 +53,12 @@ def connected_components(
         ).distinct()
     if num_partitions:
         e = e.repartition(num_partitions, "src")
+    else:
+        e = e.repartition("src")
+    # pre-sort by the per-iteration join key: the cached ordering is
+    # reused by every round's sort-merge join (only the label/frontier
+    # side sorts; the edge table never moves or re-sorts)
+    e = e.sortWithinPartitions("src")
     e = e.persist()
 
     if n is None:
@@ -62,17 +69,26 @@ def connected_components(
 
     # label[v] = v
     labels = spark.range(n).select("id", F.col("id").alias("component"))
-    labels = ckpt.cut(labels)
+    labels = labels.localCheckpoint(eager=True)
     # frontier: vertices whose label changed last round (all, initially)
     frontier = labels
+    frontier_rows = n
     for it in range(max_iters):
-        # propagate only frontier labels: min incoming label per dst
+        # propagate only frontier labels: min incoming label per dst.
+        # The frontier SHRINKS every round — broadcast it once it fits
+        # (it usually does after round 1), so the edge table never moves.
+        fv = (
+            F.broadcast(frontier)
+            if frontier_rows <= BROADCAST_MAX_ROWS
+            else frontier
+        )
         prop = (
-            e.join(frontier, e["src"] == frontier["id"])
+            e.join(fv, e["src"] == frontier["id"])
             .groupBy(e["dst"].alias("pid"))
             .agg(F.min("component").alias("new_component"))
         )
-        # merge: keep the smaller of old and proposed label
+        # merge: keep the smaller of old and proposed label; lazy lineage
+        # cut + the changed-count reduce = ONE job per iteration
         merged = (
             labels.join(prop, labels["id"] == F.col("pid"), "left_outer")
             .select(
@@ -81,19 +97,25 @@ def connected_components(
                     F.col("component"),
                     F.coalesce(F.col("new_component"), F.col("component")),
                 ).alias("component"),
-                (F.col("new_component") < F.col("component")).alias("__changed"),
+                F.coalesce(
+                    F.col("new_component") < F.col("component"), F.lit(False)
+                ).alias("__changed"),
             )
         )
-        merged = ckpt.cut(merged)
+        merged = merged.localCheckpoint(eager=False)
+        changed = merged.agg(
+            F.sum(F.col("__changed").cast("long"))
+        ).first()[0]
         new_frontier = merged.filter(F.col("__changed")).select("id", "component")
-        changed = new_frontier.count()  # the single action per iteration
-        labels = merged.select("id", "component")
+        new_labels = merged.select("id", "component")
         states = ckpt.save(
             it + 1,
-            {"labels": labels, "frontier": new_frontier},
+            {"labels": new_labels, "frontier": new_frontier},
             {"changed": changed, "n": n},
         )
+        release_state(labels)
         labels, frontier = states["labels"], states["frontier"]
+        frontier_rows = changed
         if changed == 0:
             break
 

@@ -25,7 +25,8 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pygraphblas_spark.plans.checkpoint import CheckpointManager
+from pygraphblas_spark.plans.checkpoint import CheckpointManager, release_state
+from pygraphblas_spark.algorithms.pagerank import BROADCAST_MAX_ROWS
 
 
 def label_propagation(
@@ -51,6 +52,12 @@ def label_propagation(
         ).distinct()
     if num_partitions:
         e = e.repartition(num_partitions, "src")
+    else:
+        e = e.repartition("src")
+    # pre-sort by the per-iteration join key: the cached ordering is
+    # reused by every round's sort-merge join (only the label/frontier
+    # side sorts; the edge table never moves or re-sorts)
+    e = e.sortWithinPartitions("src")
     e = e.persist()
 
     if n is None:
@@ -60,13 +67,15 @@ def label_propagation(
         e.count()
 
     labels = spark.range(n).select("id", F.col("id").alias("label"))
-    labels = ckpt.cut(labels)
+    labels = labels.localCheckpoint(eager=True)
 
     for it in range(max_iters):
         # neighbor label counts: two-stage agg (map-side partials absorb
-        # hub skew before the shuffle)
+        # hub skew before the shuffle). Labels are broadcast while they
+        # fit so the persisted edge table never re-shuffles.
+        lv = F.broadcast(labels) if n <= BROADCAST_MAX_ROWS else labels
         counts = (
-            e.join(labels, e["src"] == labels["id"])
+            e.join(lv, e["src"] == labels["id"])
             .groupBy(e["dst"].alias("vid"), F.col("label"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
@@ -81,10 +90,12 @@ def label_propagation(
                 "__changed"
             ),
         )
-        merged = ckpt.cut(merged)
-        changed = merged.filter(F.col("__changed")).count()
-        labels = merged.select("id", "label")
-        states = ckpt.save(it + 1, {"labels": labels}, {"changed": changed, "n": n})
+        # lazy lineage cut + changed-count reduce = ONE job per iteration
+        merged = merged.localCheckpoint(eager=False)
+        changed = merged.agg(F.sum(F.col("__changed").cast("long"))).first()[0]
+        new_labels = merged.select("id", "label")
+        states = ckpt.save(it + 1, {"labels": new_labels}, {"changed": changed, "n": n})
+        release_state(labels)
         labels = states["labels"]
         if changed == 0:
             break

@@ -30,6 +30,36 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 
+def release_state(df: Optional[DataFrame]) -> int:
+    """Eagerly unpersist the locally-checkpointed blocks behind a
+    superseded iteration state.
+
+    ``localCheckpoint`` pins each iteration's partitions in executor
+    storage; the async ContextCleaner frees them only after JVM GC notices
+    the dropped reference, so a long-running loop accumulates dead state
+    and starts evicting under memory pressure. This walks the frame's
+    analyzed plan and unpersists every ``LogicalRDD`` leaf (the checkpoint
+    scan nodes) — a no-op for parquet-backed (durable) states.
+
+    Returns the number of RDDs unpersisted (-1 on failure; failure is
+    harmless, the ContextCleaner remains the backstop).
+    """
+    if df is None:
+        return 0
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        leaves = plan.collectLeaves().iterator()
+        n = 0
+        while leaves.hasNext():
+            leaf = leaves.next()
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
+                n += 1
+        return n
+    except Exception:
+        return -1
+
+
 class CheckpointManager:
     """Durable (parquet) checkpoint + manifest for an iterative algorithm.
 
