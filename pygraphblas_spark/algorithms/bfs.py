@@ -20,7 +20,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pygraphblas_spark.plans.checkpoint import CheckpointManager
+from pygraphblas_spark.plans.checkpoint import CheckpointManager, iteration_conf
 
 
 def bfs_levels(
@@ -37,6 +37,11 @@ def bfs_levels(
     """
     spark = edges.sparkSession
     ckpt = checkpoint or CheckpointManager(algorithm="bfs")
+    with iteration_conf(spark):
+        return _bfs_loop(spark, edges, source, max_levels, ckpt)
+
+
+def _bfs_loop(spark, edges, source, max_levels, ckpt):
     e = edges.select("src", "dst").persist()
     e.count()
 

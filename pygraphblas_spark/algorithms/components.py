@@ -26,7 +26,11 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pygraphblas_spark.plans.checkpoint import CheckpointManager, release_state
+from pygraphblas_spark.plans.checkpoint import (
+    CheckpointManager,
+    iteration_conf,
+    release_state,
+)
 from pygraphblas_spark.algorithms.pagerank import BROADCAST_MAX_ROWS
 
 
@@ -46,6 +50,11 @@ def connected_components(
     """
     spark = edges.sparkSession
     ckpt = checkpoint or CheckpointManager(algorithm="cc")
+    with iteration_conf(spark):
+        return _cc_loop(spark, edges, n, max_iters, directed, ckpt, num_partitions)
+
+
+def _cc_loop(spark, edges, n, max_iters, directed, ckpt, num_partitions):
     e = edges.select("src", "dst")
     if not directed:
         e = e.unionByName(

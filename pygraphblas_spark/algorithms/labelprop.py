@@ -25,7 +25,11 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pygraphblas_spark.plans.checkpoint import CheckpointManager, release_state
+from pygraphblas_spark.plans.checkpoint import (
+    CheckpointManager,
+    iteration_conf,
+    release_state,
+)
 from pygraphblas_spark.algorithms.pagerank import BROADCAST_MAX_ROWS
 
 
@@ -45,6 +49,11 @@ def label_propagation(
     """
     spark = edges.sparkSession
     ckpt = checkpoint or CheckpointManager(algorithm="lpa")
+    with iteration_conf(spark):
+        return _lpa_loop(spark, edges, n, max_iters, directed, ckpt, num_partitions)
+
+
+def _lpa_loop(spark, edges, n, max_iters, directed, ckpt, num_partitions):
     e = edges.select("src", "dst")
     if not directed:
         e = e.unionByName(

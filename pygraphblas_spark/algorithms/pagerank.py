@@ -52,7 +52,11 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pygraphblas_spark.plans.checkpoint import CheckpointManager, release_state
+from pygraphblas_spark.plans.checkpoint import (
+    CheckpointManager,
+    iteration_conf,
+    release_state,
+)
 
 #: above this many vertices the rank vector stops being broadcast and the
 #: co-partitioned shuffle join takes over. Measured crossover on local[*]
@@ -89,6 +93,36 @@ def pagerank(
     """
     spark = edges.sparkSession
     ckpt = checkpoint or CheckpointManager(algorithm="pagerank")
+    if strategy in ("auto", "kernel"):
+        from pygraphblas_spark.kernels.csr_dense import (
+            DENSE_KERNEL_MAX_ROWS,
+            pagerank_dense_kernel,
+        )
+
+        kn = n
+        if kn is None and strategy == "auto":
+            mx = edges.agg(F.max("src"), F.max("dst")).first()
+            kn = int(max(mx[0], mx[1])) + 1
+        if strategy == "kernel" or kn <= DENSE_KERNEL_MAX_ROWS:
+            return pagerank_dense_kernel(
+                edges,
+                n=kn,
+                damping=damping,
+                tol=tol,
+                max_iters=max_iters,
+                num_blocks=num_partitions,
+                checkpoint=ckpt,
+            )
+        strategy = "shuffle"
+    with iteration_conf(spark):
+        return _pagerank_loop(
+            spark, edges, n, damping, tol, max_iters, ckpt, num_partitions, strategy
+        )
+
+
+def _pagerank_loop(
+    spark, edges, n, damping, tol, max_iters, ckpt, num_partitions, strategy
+):
     e = edges.select("src", "dst")
     if num_partitions:
         e = e.repartition(num_partitions, "src")

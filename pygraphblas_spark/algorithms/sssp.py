@@ -17,7 +17,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pygraphblas_spark.plans.checkpoint import CheckpointManager
+from pygraphblas_spark.plans.checkpoint import CheckpointManager, iteration_conf
 
 
 def sssp(
@@ -32,6 +32,11 @@ def sssp(
     same as the reference's fixpoint loop)."""
     spark = edges.sparkSession
     ckpt = checkpoint or CheckpointManager(algorithm="sssp")
+    with iteration_conf(spark):
+        return _sssp_loop(spark, edges, source, max_iters, ckpt)
+
+
+def _sssp_loop(spark, edges, source, max_iters, ckpt):
     e = edges.select("src", "dst", F.col("val").cast("double")).persist()
     e.count()
 

@@ -5,5 +5,9 @@ the per-partition CSR SpMV gather-scatter (the reference's Python⇄C array
 boundary, SURVEY.md §1.3, becomes our Spark⇄numpy Arrow boundary)."""
 
 from pygraphblas_spark.kernels.csr import spmv_csr
+from pygraphblas_spark.kernels.csr_dense import (
+    DENSE_KERNEL_MAX_ROWS,
+    pagerank_dense_kernel,
+)
 
-__all__ = ["spmv_csr"]
+__all__ = ["spmv_csr", "pagerank_dense_kernel", "DENSE_KERNEL_MAX_ROWS"]

@@ -22,12 +22,41 @@ State layout under ``root/``:
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+@contextlib.contextmanager
+def iteration_conf(spark: SparkSession):
+    """Pin loop-friendly SQL confs for the duration of an iterative
+    algorithm, restoring the previous values on exit.
+
+    AQE is disabled inside iteration loops, deliberately:
+
+    - AQE materializes every shuffle stage as a separate query stage with
+      a driver re-planning round between them — per-iteration latency that
+      a fixed-size loop body (whose shapes we know exactly) never repays.
+      Measured on the sf0.1 code graph: 0.85 s/iter with AQE vs 0.72 s
+      without, and 3-5x slower warm-up iterations.
+    - AQE's runtime partition coalescing changes output partitioning,
+      which breaks the cached co-partitioning/ordering contract the loops
+      rely on (edge table hash-partitioned+sorted by join key once, never
+      re-shuffled).
+
+    One-shot queries (triangle count, mxm, pipeline ops) keep AQE on —
+    skew-join splitting and coalescing earn their latency there.
+    """
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def release_state(df: Optional[DataFrame]) -> int:

@@ -33,7 +33,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 # language → import-statement pattern, applied with regexp_extract_all.
 # Patterns intentionally simple (module-name capture), mirroring what the
@@ -131,24 +130,40 @@ def synthesize_source_table(
     )
 
 
-def build_vertices(source: DataFrame) -> DataFrame:
+def build_vertices(source: DataFrame, num_buckets: int | None = None) -> DataFrame:
     """Vertex dictionary: distinct (repo, path) → dense long id.
 
-    Distributed dense-id assignment: sort by (repo, path) then
-    zipWithIndex (Spark computes per-partition sizes and offsets in one
-    extra lightweight job — no single-partition Window, no collect).
-    Deterministic for a given source table.
+    Distributed dense-id assignment, 100% JVM-side (no RDD/Python row
+    path): keys are hash-bucketed, ranked within each bucket by a sorted
+    window, and offset by the exclusive prefix-sum of bucket sizes. The
+    prefix-sum window runs over only ``num_buckets`` rows (broadcast back
+    to the join), so there is no single-partition pass over the data —
+    the same shape scales to 10^12 keys by raising ``num_buckets``.
+
+    Ids are dense 0..n-1 and deterministic for a given table (bucket =
+    xxhash64(repo, path), rank = lexicographic within bucket).
     """
-    distinct = source.select("repo", "path").distinct().orderBy("repo", "path")
-    schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("repo", T.StringType()),
-            T.StructField("path", T.StringType()),
-        ]
+    spark = source.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    from pyspark.sql import Window
+
+    distinct = source.select("repo", "path").distinct()
+    b = distinct.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("repo", "path"), F.lit(num_buckets)).cast("int"),
     )
-    rdd = distinct.rdd.zipWithIndex().map(lambda t: (t[1], t[0][0], t[0][1]))
-    return source.sparkSession.createDataFrame(rdd, schema)
+    rn = b.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("bucket").orderBy("repo", "path"))
+    )
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    prefix = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("cnt").over(prefix), F.lit(0)).alias("offset")
+    )
+    return rn.join(F.broadcast(offsets), "bucket").select(
+        (F.col("offset") + F.col("rn") - 1).alias("id"), "repo", "path"
+    )
 
 
 def extract_import_edges(source: DataFrame, vertices: DataFrame) -> DataFrame:

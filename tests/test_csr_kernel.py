@@ -47,6 +47,43 @@ def test_spmv_csr_times(spark):
     assert got == {1: 20.0, 0: 60.0}
 
 
+def test_pagerank_strategies_agree(spark):
+    """broadcast / shuffle join paths and the dense block kernel produce
+    identical ranks (1e-12) and match the numpy oracle (1e-6)."""
+    e = edges_df(spark, PR_I, PR_J)
+    want = pagerank_oracle(PR_I, PR_J, 11, tol=1e-8)
+    results = {}
+    for strat in ("broadcast", "shuffle", "kernel"):
+        got = {
+            r["id"]: r["rank"]
+            for r in pagerank(e, n=11, tol=1e-8, strategy=strat).collect()
+        }
+        assert len(got) == 11, strat
+        arr = np.array([got[i] for i in range(11)])
+        assert np.allclose(arr, want, atol=1e-6), strat
+        results[strat] = arr
+    assert np.allclose(results["broadcast"], results["kernel"], atol=1e-12)
+    assert np.allclose(results["broadcast"], results["shuffle"], atol=1e-12)
+
+
+def test_pagerank_dense_kernel_durable_checkpoint(spark, tmp_path):
+    """The dense kernel honors the CheckpointManager cadence: durable
+    parquet states + manifest with rdiff metrics, resumable."""
+    from pygraphblas_spark.kernels.csr_dense import pagerank_dense_kernel
+    from pygraphblas_spark.plans.checkpoint import CheckpointManager
+
+    e = edges_df(spark, PR_I, PR_J)
+    ck = CheckpointManager(root=str(tmp_path / "pr"), interval=2, algorithm="pr")
+    pagerank_dense_kernel(e, n=11, tol=1e-8, max_iters=7, checkpoint=ck)
+    resumed = CheckpointManager.resume(spark, str(tmp_path / "pr"))
+    assert resumed is not None
+    it, states, manifest = resumed
+    assert it % 2 == 0 and it >= 2
+    assert states["rank"].count() == 11
+    recs = manifest["records"]
+    assert all("rdiff" in r["metrics"] for r in recs)
+
+
 def test_pagerank_csr_matches_oracle_and_join(spark):
     e = edges_df(spark, PR_I, PR_J)
     got_csr = {
