@@ -41,15 +41,37 @@ def connected_components(
     directed: bool = False,
     checkpoint: Optional[CheckpointManager] = None,
     num_partitions: Optional[int] = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Connected components over an edge DataFrame (src, dst).
 
     Returns (id: long, component: long) where component is the minimum
     vertex id in the component — exact, deterministic labels.
     ``directed=False`` (default) symmetrizes, computing undirected CCs.
+    ``strategy``: 'kernel' (dense CSR-block gather-scatter, zero shuffles
+    per iteration, n ≤ ~10M) | 'join' (fully distributed) | 'auto'.
     """
     spark = edges.sparkSession
     ckpt = checkpoint or CheckpointManager(algorithm="cc")
+    if strategy in ("auto", "kernel"):
+        from pygraphblas_spark.kernels.csr_dense import (
+            DENSE_KERNEL_MAX_ROWS,
+            cc_dense_kernel,
+        )
+
+        kn = n
+        if kn is None and strategy == "auto":
+            mx = edges.agg(F.max("src"), F.max("dst")).first()
+            kn = int(max(mx[0], mx[1])) + 1 if mx[0] is not None else 0
+        if strategy == "kernel" or kn <= DENSE_KERNEL_MAX_ROWS:
+            return cc_dense_kernel(
+                edges,
+                n=kn,
+                max_iters=max_iters,
+                directed=directed,
+                num_blocks=num_partitions,
+                checkpoint=ckpt,
+            )
     with iteration_conf(spark):
         return _cc_loop(spark, edges, n, max_iters, directed, ckpt, num_partitions)
 

@@ -7,7 +7,15 @@ boundary, SURVEY.md §1.3, becomes our Spark⇄numpy Arrow boundary)."""
 from pygraphblas_spark.kernels.csr import spmv_csr
 from pygraphblas_spark.kernels.csr_dense import (
     DENSE_KERNEL_MAX_ROWS,
+    cc_dense_kernel,
+    lpa_dense_kernel,
     pagerank_dense_kernel,
 )
 
-__all__ = ["spmv_csr", "pagerank_dense_kernel", "DENSE_KERNEL_MAX_ROWS"]
+__all__ = [
+    "spmv_csr",
+    "pagerank_dense_kernel",
+    "cc_dense_kernel",
+    "lpa_dense_kernel",
+    "DENSE_KERNEL_MAX_ROWS",
+]

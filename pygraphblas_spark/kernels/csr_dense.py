@@ -1,11 +1,13 @@
-"""Dense-vector PageRank kernel over cached per-partition CSR blocks.
+"""Dense-vector iterative kernels over cached per-partition CSR blocks.
 
 The north star's physical plan made concrete: "edges ... built into
-per-partition CSR blocks, and PageRank ... computed by iterative sparse
-gather-scatter expressed as vectorized pandas/Arrow UDFs over DataFrames —
-no per-row Python". Reference boundary analog: ``Matrix.to_arrays`` /
-``npI/npJ/npV`` zero-copy numpy views (``pygraphblas/matrix.py:1475-1605``)
-— the same Python⇄arrays frontier, here crossed via Arrow.
+per-partition CSR blocks, and PageRank (plus-times semiring SpMV ...),
+connected components (min-plus label diffusion ...), label propagation
+... computed by iterative sparse gather-scatter expressed as vectorized
+pandas/Arrow UDFs over DataFrames — no per-row Python". Reference
+boundary analog: ``Matrix.to_arrays`` / ``npI/npJ/npV`` zero-copy numpy
+views (``pygraphblas/matrix.py:1475-1605``) — the same Python⇄arrays
+frontier, here crossed via Arrow.
 
 Design (what each piece buys at scale):
 
@@ -17,28 +19,22 @@ Design (what each piece buys at scale):
   exactly one block: per-block scatter results are FINAL. The iteration
   loop therefore has ZERO shuffles, and the JVM's per-iteration work is
   shipping cached byte buffers (pure memcpy — no row↔columnar encode).
-- **Weight vector transport**: each iteration needs ``w = rank·damping/
-  outdeg`` (n doubles) visible to every kernel task. In ``local[k]`` the
-  vector is published as an ``.npy`` file and the kernel ``np.load``\ s it
-  ``mmap_mode='r'`` — ONE page-cache copy shared by all workers, exactly
-  the per-node sharing a real multi-executor node gets from its block
-  manager (k Python workers unpickling k private copies is a local-mode
-  pathology, not something to design around). On a non-local master it
-  falls back to ``sc.broadcast``.
+- **Vector transport**: each iteration needs an n-vector (ranks / labels)
+  visible to every kernel task. In ``local[k]`` it is published as an
+  ``.npy`` file and kernels ``np.load`` it ``mmap_mode='r'`` — ONE
+  page-cache copy shared by all workers, the same per-node sharing a real
+  multi-executor node gets from its block manager (k private unpickled
+  copies per k workers is a local-mode pathology, not a design target).
+  On a non-local master it falls back to ``sc.broadcast``.
 - **Per-iteration dataflow**: one job, one narrow stage over the block
-  cache; kernels gather ``w[src]`` (vectorized fancy-index against the
-  mmap) and segment-sum with ``np.add.reduceat`` (blocks are dst-sorted,
-  so no per-iteration sort); results return as binary numpy buffers; the
-  driver applies teleport + L1-diff in O(n) vectorized ops.
+  cache; results return as binary numpy buffers via ``toArrow`` (a
+  ``collect()`` would funnel them through single-threaded py4j pickling);
+  the driver update is O(n) vectorized numpy.
 
-Crossover: the driver holds three dense n-vectors and every executor node
-maps one — fine to ~10^8 vertices; beyond that ``algorithms.pagerank``
-uses the fully distributed join path (no per-node n-sized state), which
-is the 10^12-file configuration. ``DENSE_KERNEL_MAX_ROWS`` gates the
-automatic choice.
-
-Semantics are exactly ``gap/prmark.py:8-30`` (damping, teleport, GAP
-dangling behavior, L1 convergence); tested equal to the join path at 1e-9.
+Crossover: the driver holds dense n-vectors and every executor node maps
+one — fine to ~10^8 vertices; beyond, the ``algorithms.*`` join paths
+scale out with no per-node n-sized state (the 10^12-file configuration).
+``DENSE_KERNEL_MAX_ROWS`` gates the automatic choice.
 """
 
 from __future__ import annotations
@@ -54,8 +50,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: above this many vertices ``algorithms.pagerank(strategy='auto')`` stops
-#: using the dense kernel (driver + each executor node hold an n-vector).
+#: above this many vertices the ``strategy='auto'`` algorithm entry
+#: points stop using the dense kernels (driver + each executor node hold
+#: dense n-vectors).
 DENSE_KERNEL_MAX_ROWS = 10_000_000
 
 
@@ -91,6 +88,107 @@ def _build_blocks(e: DataFrame, num_blocks: int, narrow: bool):
     return blocks, idt
 
 
+class _BlockEngine:
+    """Shared machinery for the dense iterative kernels: block cache
+    construction, per-iteration vector transport, result assembly."""
+
+    def __init__(self, edges: DataFrame, n: int | None, num_blocks: int | None):
+        spark = edges.sparkSession
+        self.spark = spark
+        self.sc = spark.sparkContext
+        if num_blocks is None:
+            num_blocks = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        self.num_blocks = num_blocks
+        self.local_mode = self.sc.master.startswith("local")
+        self.tmpdir = None
+        self._prev_path = None
+        self._bcast = None
+        self._iter = 0
+
+        e = edges
+        if n is None:
+            mx = e.agg(F.max("src"), F.max("dst")).first()
+            n = int(max(mx[0], mx[1])) + 1 if mx[0] is not None else 0
+        self.n = n
+        self.edges = e
+
+    def build(self):
+        e = self.edges
+        self.narrow = self.n <= (1 << 31) - 1
+        if self.narrow:
+            e = e.select(
+                F.col("src").cast("int").alias("src"),
+                F.col("dst").cast("int").alias("dst"),
+            )
+        e = e.repartition(self.num_blocks, "dst").sortWithinPartitions("dst")
+        self.blocks, self.idt = _build_blocks(e, self.num_blocks, self.narrow)
+        if self.local_mode:
+            self.tmpdir = tempfile.mkdtemp(prefix="pgb_vec_")
+        return self
+
+    def publish(self, arr: np.ndarray):
+        """Ship an n-vector to kernel tasks; returns (path, bcast) — pass
+        both into the kernel closure and read with :meth:`fetch`."""
+        self._release_prev()
+        if self.local_mode:
+            path = os.path.join(self.tmpdir, f"v_{self._iter}.npy")
+            np.save(path, arr)
+            self._iter += 1
+            self._prev_path = path
+            return path, None
+        self._bcast = self.sc.broadcast(arr)
+        return None, self._bcast
+
+    @staticmethod
+    def fetch(path, bcast) -> np.ndarray:
+        return np.load(path, mmap_mode="r") if path is not None else bcast.value
+
+    def run(self, kernel, schema: str):
+        """One iteration job: map ``kernel`` over the block cache, fetch
+        results as a pyarrow Table (Arrow stream, not py4j pickling)."""
+        return self.blocks.mapInArrow(kernel, schema).toArrow()
+
+    def _release_prev(self):
+        if self._bcast is not None:
+            self._bcast.unpersist()
+            self._bcast = None
+        if self._prev_path:
+            try:
+                os.remove(self._prev_path)
+            except OSError:
+                pass
+            self._prev_path = None
+
+    def close(self):
+        self.blocks.unpersist()
+        self._release_prev()
+        if self.tmpdir:
+            shutil.rmtree(self.tmpdir, ignore_errors=True)
+
+
+def _record(ckpt, iteration: int, metrics: dict):
+    import time
+
+    ckpt.records.append(
+        {
+            "iteration": iteration,
+            "algorithm": ckpt.algorithm,
+            "elapsed_sec": round(time.time() - ckpt._t0, 3),
+            "metrics": metrics,
+            "durable": False,
+        }
+    )
+
+
+def _maybe_durable(ckpt, spark, iteration: int, name: str, ids, vals, col, metrics):
+    """Write a durable parquet state + manifest record on cadence."""
+    if ckpt.durable and iteration % ckpt.interval == 0:
+        df = spark.createDataFrame(pd.DataFrame({"id": ids, col: vals}))
+        ckpt.save(iteration, {name: df}, metrics)
+    else:
+        _record(ckpt, iteration, metrics)
+
+
 def pagerank_dense_kernel(
     edges: DataFrame,
     n: int | None = None,
@@ -103,68 +201,41 @@ def pagerank_dense_kernel(
     """PageRank over cached CSR blocks — zero shuffles per iteration.
 
     Returns (id: long, rank: double) for every vertex 0..n-1; identical
-    results to ``algorithms.pagerank`` (same GAP formulation).
+    results to ``algorithms.pagerank`` (same ``gap/prmark.py:8-30`` GAP
+    formulation: damping, teleport, dangling leak, L1 convergence).
     """
     import pyarrow as pa
 
     from pygraphblas_spark.plans.checkpoint import CheckpointManager, iteration_conf
 
     spark = edges.sparkSession
-    sc = spark.sparkContext
     ckpt = checkpoint or CheckpointManager(algorithm="pagerank_kernel")
-    if num_blocks is None:
-        num_blocks = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    local_mode = sc.master.startswith("local")
 
     with iteration_conf(spark):
-        e = edges.select("src", "dst")
-        if n is None:
-            mx = e.agg(F.max("src"), F.max("dst")).first()
-            n = int(max(mx[0], mx[1])) + 1
+        eng = _BlockEngine(edges.select("src", "dst"), n, num_blocks)
+        n = eng.n
         if n == 0:
             return spark.createDataFrame([], "id long, rank double")
 
         # out-degree → inv_d = damping/outdeg (0 for dangling; GAP leak)
-        deg_pd = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).toPandas()
+        deg_pd = (
+            eng.edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).toPandas()
+        )
         inv_d = np.zeros(n, dtype="float64")
         inv_d[deg_pd["src"].to_numpy()] = damping / deg_pd["deg"].to_numpy(
             dtype="float64"
         )
+        eng.build()
+        idt = eng.idt
 
-        narrow = n <= (1 << 31) - 1
-        if narrow:
-            e = e.select(
-                F.col("src").cast("int").alias("src"),
-                F.col("dst").cast("int").alias("dst"),
-            )
-        e = e.repartition(num_blocks, "dst").sortWithinPartitions("dst")
-        blocks, idt = _build_blocks(e, num_blocks, narrow)
-
-        tmpdir = tempfile.mkdtemp(prefix="pgb_w_") if local_mode else None
         teleport = (1.0 - damping) / n
         rank = np.full(n, 1.0 / n, dtype="float64")
-
         try:
-            iters, rdiff = 0, float("inf")
-            prev_path, w_b = None, None
             for it in range(max_iters):
-                w = rank * inv_d
-                w_path = None
-                if local_mode:
-                    w_path = os.path.join(tmpdir, f"w_{it}.npy")
-                    np.save(w_path, w)
-                else:
-                    w_b = sc.broadcast(w)
-                bref = w_b
+                w_path, w_b = eng.publish(rank * inv_d)
 
-                def spmv(
-                    batches: Iterator["pa.RecordBatch"],
-                ) -> Iterator["pa.RecordBatch"]:
-                    wv = (
-                        np.load(w_path, mmap_mode="r")
-                        if w_path is not None
-                        else bref.value
-                    )
+                def spmv(batches):
+                    wv = _BlockEngine.fetch(w_path, w_b)
                     for b in batches:
                         for i in range(b.num_rows):
                             uniq = np.frombuffer(
@@ -185,9 +256,7 @@ def pagerank_dense_kernel(
                                 names=["ids", "vals"],
                             )
 
-                # driver fetch via Arrow stream (toArrow) — collect() would
-                # funnel ~16n bytes through single-threaded py4j pickling
-                tbl = blocks.mapInArrow(spmv, "ids binary, vals binary").toArrow()
+                tbl = eng.run(spmv, "ids binary, vals binary")
                 y = np.full(n, teleport, dtype="float64")
                 ids_col, vals_col = tbl.column("ids"), tbl.column("vals")
                 for i in range(tbl.num_rows):
@@ -195,41 +264,208 @@ def pagerank_dense_kernel(
                     y[ids] += np.frombuffer(vals_col[i].as_buffer(), dtype="float64")
                 rdiff = float(np.abs(y - rank).sum())
                 rank = y
-                iters = it + 1
-
-                if w_b is not None:
-                    w_b.unpersist()
-                    w_b = None
-                if prev_path:
-                    try:
-                        os.remove(prev_path)
-                    except OSError:
-                        pass
-                prev_path = w_path
-
-                if ckpt.durable and iters % ckpt.interval == 0:
-                    rank_df = spark.createDataFrame(
-                        pd.DataFrame(
-                            {"id": np.arange(n, dtype="int64"), "rank": rank}
-                        )
-                    )
-                    ckpt.save(iters, {"rank": rank_df}, {"rdiff": rdiff, "n": n})
-                else:
-                    ckpt.records.append(
-                        {
-                            "iteration": iters,
-                            "algorithm": ckpt.algorithm,
-                            "metrics": {"rdiff": rdiff, "n": n},
-                            "durable": False,
-                        }
-                    )
+                _maybe_durable(
+                    ckpt, spark, it + 1, "rank",
+                    np.arange(n, dtype="int64"), rank, "rank",
+                    {"rdiff": rdiff, "n": n},
+                )
                 if rdiff <= tol:
                     break
         finally:
-            blocks.unpersist()
-            if tmpdir:
-                shutil.rmtree(tmpdir, ignore_errors=True)
+            eng.close()
 
         return spark.createDataFrame(
             pd.DataFrame({"id": np.arange(n, dtype="int64"), "rank": rank})
+        )
+
+
+def _symmetrized(edges: DataFrame, directed: bool) -> DataFrame:
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    return e
+
+
+def cc_dense_kernel(
+    edges: DataFrame,
+    n: int | None = None,
+    max_iters: int = 100,
+    directed: bool = False,
+    num_blocks: int | None = None,
+    checkpoint=None,
+) -> DataFrame:
+    """Connected components — min-label diffusion over cached CSR blocks.
+
+    Same fixpoint as ``algorithms.connected_components`` (MIN_SECOND
+    semiring mxv iterated, SURVEY.md §2.11): label[v] ← min(label[v],
+    min over in-neighbors). Per iteration: publish labels, one narrow
+    ``np.minimum.reduceat`` pass per block, O(n) driver merge. Returns
+    (id: long, component: long), exact deterministic labels.
+    """
+    import pyarrow as pa
+
+    from pygraphblas_spark.plans.checkpoint import CheckpointManager, iteration_conf
+
+    spark = edges.sparkSession
+    ckpt = checkpoint or CheckpointManager(algorithm="cc_kernel")
+
+    with iteration_conf(spark):
+        eng = _BlockEngine(_symmetrized(edges, directed), n, num_blocks)
+        n = eng.n
+        if n == 0:
+            return spark.createDataFrame([], "id long, component long")
+        eng.build()
+        idt = eng.idt
+
+        labels = np.arange(n, dtype="int64")
+        try:
+            for it in range(max_iters):
+                l_path, l_b = eng.publish(labels)
+
+                def diffuse(batches):
+                    lv = _BlockEngine.fetch(l_path, l_b)
+                    for b in batches:
+                        for i in range(b.num_rows):
+                            uniq = np.frombuffer(
+                                b.column("uniq")[i].as_buffer(), dtype="int64"
+                            )
+                            starts = np.frombuffer(
+                                b.column("starts")[i].as_buffer(), dtype="int64"
+                            )
+                            src = np.frombuffer(
+                                b.column("src")[i].as_buffer(), dtype=idt
+                            )
+                            mins = np.minimum.reduceat(lv[src], starts)
+                            yield pa.RecordBatch.from_arrays(
+                                [
+                                    pa.array([uniq.tobytes()], type=pa.binary()),
+                                    pa.array([mins.tobytes()], type=pa.binary()),
+                                ],
+                                names=["ids", "vals"],
+                            )
+
+                tbl = eng.run(diffuse, "ids binary, vals binary")
+                new = labels.copy()
+                ids_col, vals_col = tbl.column("ids"), tbl.column("vals")
+                for i in range(tbl.num_rows):
+                    ids = np.frombuffer(ids_col[i].as_buffer(), dtype="int64")
+                    cand = np.frombuffer(vals_col[i].as_buffer(), dtype="int64")
+                    new[ids] = np.minimum(new[ids], cand)
+                changed = int((new < labels).sum())
+                labels = new
+                _maybe_durable(
+                    ckpt, spark, it + 1, "labels",
+                    np.arange(n, dtype="int64"), labels, "component",
+                    {"changed": changed, "n": n},
+                )
+                if changed == 0:
+                    break
+        finally:
+            eng.close()
+
+        return spark.createDataFrame(
+            pd.DataFrame({"id": np.arange(n, dtype="int64"), "component": labels})
+        )
+
+
+def lpa_dense_kernel(
+    edges: DataFrame,
+    n: int | None = None,
+    max_iters: int = 20,
+    directed: bool = False,
+    num_blocks: int | None = None,
+    checkpoint=None,
+) -> DataFrame:
+    """Synchronous LPA over cached CSR blocks — most-frequent neighbor
+    label, ties to the smallest label (deterministic, identical to
+    ``algorithms.label_propagation``).
+
+    Per block and iteration: neighbor labels are gathered, folded into
+    composite keys ``dst_code·(n+1)+label`` and counted with one
+    ``np.unique`` pass; the per-dst argmax-with-min-tiebreak is a pair of
+    ``reduceat``\\ s. Counts per (dst, label) are final within a block
+    (dst-partitioned), so no cross-block combine is needed.
+    """
+    import pyarrow as pa
+
+    from pygraphblas_spark.plans.checkpoint import CheckpointManager, iteration_conf
+
+    spark = edges.sparkSession
+    ckpt = checkpoint or CheckpointManager(algorithm="lpa_kernel")
+
+    with iteration_conf(spark):
+        eng = _BlockEngine(_symmetrized(edges, directed), n, num_blocks)
+        n = eng.n
+        if n == 0:
+            return spark.createDataFrame([], "id long, label long")
+        eng.build()
+        idt = eng.idt
+        base = n + 1
+
+        labels = np.arange(n, dtype="int64")
+        try:
+            for it in range(max_iters):
+                l_path, l_b = eng.publish(labels)
+
+                def vote(batches):
+                    lv = _BlockEngine.fetch(l_path, l_b)
+                    for b in batches:
+                        for i in range(b.num_rows):
+                            uniq = np.frombuffer(
+                                b.column("uniq")[i].as_buffer(), dtype="int64"
+                            )
+                            starts = np.frombuffer(
+                                b.column("starts")[i].as_buffer(), dtype="int64"
+                            )
+                            src = np.frombuffer(
+                                b.column("src")[i].as_buffer(), dtype=idt
+                            )
+                            seg = np.zeros(len(src), dtype="int64")
+                            seg[starts[1:]] = 1
+                            code = np.cumsum(seg)  # dense dst code per edge
+                            key = code * base + lv[src]
+                            kk, counts = np.unique(key, return_counts=True)
+                            kcode = kk // base
+                            g = np.flatnonzero(
+                                np.r_[True, kcode[1:] != kcode[:-1]]
+                            )
+                            maxc = np.maximum.reduceat(counts, g)
+                            # first index per group where count == group max
+                            # (keys sorted → labels ascending → min tiebreak)
+                            reps = np.diff(np.r_[g, len(counts)])
+                            is_max = counts == np.repeat(maxc, reps)
+                            idx = np.arange(len(counts))
+                            idx[~is_max] = len(counts)
+                            win_idx = np.minimum.reduceat(idx, g)
+                            winner = kk[win_idx] % base
+                            yield pa.RecordBatch.from_arrays(
+                                [
+                                    pa.array([uniq[kcode[g]].tobytes()], type=pa.binary()),
+                                    pa.array([winner.tobytes()], type=pa.binary()),
+                                ],
+                                names=["ids", "vals"],
+                            )
+
+                tbl = eng.run(vote, "ids binary, vals binary")
+                new = labels.copy()
+                ids_col, vals_col = tbl.column("ids"), tbl.column("vals")
+                for i in range(tbl.num_rows):
+                    ids = np.frombuffer(ids_col[i].as_buffer(), dtype="int64")
+                    new[ids] = np.frombuffer(vals_col[i].as_buffer(), dtype="int64")
+                changed = int((new != labels).sum())
+                labels = new
+                _maybe_durable(
+                    ckpt, spark, it + 1, "labels",
+                    np.arange(n, dtype="int64"), labels, "label",
+                    {"changed": changed, "n": n},
+                )
+                if changed == 0:
+                    break
+        finally:
+            eng.close()
+
+        return spark.createDataFrame(
+            pd.DataFrame({"id": np.arange(n, dtype="int64"), "label": labels})
         )

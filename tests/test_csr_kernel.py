@@ -84,6 +84,33 @@ def test_pagerank_dense_kernel_durable_checkpoint(spark, tmp_path):
     assert all("rdiff" in r["metrics"] for r in recs)
 
 
+def test_cc_lpa_dense_kernels_match_join(spark):
+    """cc/lpa dense kernels produce exactly the join paths' labels."""
+    from pygraphblas_spark.algorithms import (
+        connected_components,
+        label_propagation,
+    )
+
+    # two components + a tail; symmetrized by the algorithms
+    I = [0, 1, 2, 5, 6, 7, 8, 3]
+    J = [1, 2, 0, 6, 7, 5, 5, 4]
+    e = edges_df(spark, I, J)
+    cj = {r["id"]: r["component"]
+          for r in connected_components(e, strategy="join").collect()}
+    ck = {r["id"]: r["component"]
+          for r in connected_components(e, strategy="kernel").collect()}
+    assert cj == ck and len(cj) == 9
+    assert ck[0] == ck[1] == ck[2] == 0
+    assert ck[5] == ck[6] == ck[7] == ck[8] == 5
+    assert ck[3] == ck[4] == 3
+
+    lj = {r["id"]: r["label"]
+          for r in label_propagation(e, max_iters=5, strategy="join").collect()}
+    lk = {r["id"]: r["label"]
+          for r in label_propagation(e, max_iters=5, strategy="kernel").collect()}
+    assert lj == lk and len(lk) == 9
+
+
 def test_pagerank_csr_matches_oracle_and_join(spark):
     e = edges_df(spark, PR_I, PR_J)
     got_csr = {
