@@ -236,6 +236,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "neighbor_id", "rank"
         )
 
+    def ivf_topk_fullprobe(spark, sf):
+        # IVF with nprobe == n_centroids degenerates to exact search →
+        # shares the brute-force oracle; exercises the whole IVF path
+        # (centroid sample, pandas-UDF assignment, list join, re-rank)
+        from pygraphblas_spark.pipeline.similarity import ivf_topk
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 8)
+        return ivf_topk(emb, q, k=5, n_centroids=8, nprobe=8).select(
+            "query_id", "neighbor_id", "rank"
+        )
+
     def minhash_near_dups(spark, sf):
         # xxhash64 has no DuckDB twin → rows-only; correctness is covered
         # by tests/test_pipeline.py recall-vs-exact-Jaccard property
@@ -284,6 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "cosine_topk": cosine_topk,
+        "ivf_topk_fullprobe": ivf_topk_fullprobe,
         "minhash_near_dups": minhash_near_dups,
         "simhash_sigs": simhash_sigs,
     }
@@ -354,6 +367,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "cosine_topk": (
+            "WITH scored AS ( "
+            "  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, "
+            "         ROUND(list_dot_product(q.embedding, b.embedding) / "
+            "               (sqrt(list_dot_product(q.embedding, q.embedding)) * "
+            "                sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS cos "
+            "  FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id "
+            "  WHERE q.vec_id < 8 "
+            "), ranked AS ( "
+            "  SELECT query_id, neighbor_id, "
+            "         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank "
+            "  FROM scored) "
+            "SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5"
+        ),
+        "ivf_topk_fullprobe": (
             "WITH scored AS ( "
             "  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, "
             "         ROUND(list_dot_product(q.embedding, b.embedding) / "

@@ -1,8 +1,8 @@
 """Training-data pipeline operators over the ``documents`` /
 ``embeddings`` tables — the operations a 100 TB pretraining-data pipeline
 runs alongside the graph engine: deduplication (exact / MinHash-LSH /
-SimHash / n-gram Jaccard), similarity search (brute-force + LSH-bucketed
-cosine), text analysis (language-ID, quality, tokens, fingerprints), and
+SimHash / n-gram Jaccard), similarity search (brute-force, LSH-bucketed and
+IVF cosine), text analysis (language-ID, quality, tokens, fingerprints), and
 multimodal column plumbing.
 
 Everything is built from JVM-side column expressions (codegen) except the
@@ -23,6 +23,7 @@ from pygraphblas_spark.pipeline.dedup import (
 )
 from pygraphblas_spark.pipeline.similarity import (
     cosine_topk_bruteforce,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 
@@ -36,5 +37,6 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_signatures",
     "cosine_topk_bruteforce",
+    "ivf_topk",
     "lsh_bucketed_topk",
 ]

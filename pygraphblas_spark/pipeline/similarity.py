@@ -4,17 +4,24 @@
   broadcast the (small) query side, one pass over the base table,
   ``zip_with``+``aggregate`` dot products (JVM higher-order functions, no
   Python), window rank. The baseline every ANN variant is measured against.
-- ``lsh_bucketed_topk``: the scale path — random-hyperplane LSH buckets
-  (sign of dot with h seeded pseudo-random planes, derived from xxhash of
-  the dimension index — deterministic, no RNG state), candidates only
-  within matching buckets across b tables, then exact re-rank. Recall<1,
-  tunable with (planes, tables).
+- ``lsh_bucketed_topk``: random-hyperplane LSH buckets (sign of dot with
+  seeded pseudo-random planes derived from xxhash of the dimension index
+  — deterministic, no RNG state), candidates only within matching buckets
+  across b tables, then exact re-rank. Recall<1, tunable with
+  (planes, tables).
+- ``ivf_topk``: inverted-file index — C deterministic sampled centroids
+  are broadcast as one numpy matrix; assignment is a vectorized pandas
+  UDF (one Arrow-batched matmul per batch, no per-row Python); each base
+  vector lives in 1 list, each query probes its ``nprobe`` nearest lists;
+  exact re-rank inside probed lists. Recall<1, tunable with (C, nprobe).
 
 At 100 TB the bruteforce path is O(|Q|·|B|) — fine for |Q| in the
-thousands with a broadcast; the LSH path turns it into bucket-local work.
+thousands with a broadcast; LSH/IVF turn it into bucket-local work whose
+candidate volume is controlled by (planes, tables) / (C, nprobe).
 """
 
-from __future__ import annotations
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -101,6 +108,95 @@ def lsh_bucket_key(vec: Column, planes: int, table: int) -> Column:
         _hyperplane_sign(vec, p, table) * F.lit(1 << p) for p in range(planes)
     ]
     return sum(bits[1:], bits[0]).cast("long")
+
+
+def _sample_centroids(
+    base: DataFrame, n_centroids: int, id_col: str, vec_col: str
+):
+    """Deterministic centroid sample: the ``n_centroids`` base vectors
+    with the smallest xxhash64(id) — reproducible on any cluster, one
+    small ordered collect. Returns a (C, d) float64 numpy matrix with
+    rows L2-normalized (so nearest-centroid-by-dot == by-cosine)."""
+    rows = (
+        base.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("i")), F.col("i"))
+        .limit(n_centroids)
+        .collect()
+    )
+    c = np.array([r["v"] for r in rows], dtype="float64")
+    norms = np.linalg.norm(c, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return c / norms
+
+
+def _assign_lists(df: DataFrame, centroids, nprobe: int, idname: str, vec_col: str):
+    """(id, vec) → one row per probed centroid list. ``nprobe=1`` for the
+    base side (each vector lives in exactly one inverted list). The
+    argmax over C centroids is a single numpy matmul per Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    c_t = centroids.T  # (d, C)
+    k = min(nprobe, centroids.shape[0])
+
+    @pandas_udf("array<int>")
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype="float64")  # (B, d)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ c_t  # (B, C)
+        if k == 1:
+            top = np.argmax(sims, axis=1)[:, None]
+        else:
+            top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        return pd.Series(list(top.astype("int32")))
+
+    out = df.select(
+        F.col("__id").alias(idname),
+        F.col("__v").alias(f"{idname}_v"),
+        F.explode(probe_lists(F.col("__v"))).alias("list_id"),
+    )
+    return out
+
+
+def ivf_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an inverted-file (IVF) index.
+
+    Base vectors are assigned to their nearest of ``n_centroids``
+    deterministic sampled centroids (one inverted list each); each query
+    probes its ``nprobe`` nearest lists and re-ranks exactly within them.
+    Output schema matches ``cosine_topk_bruteforce``; recall rises with
+    ``nprobe`` (== exact when nprobe == n_centroids).
+    """
+    centroids = _sample_centroids(base, n_centroids, id_col, vec_col)
+    b = base.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    q = queries.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    bl = _assign_lists(b, centroids, 1, "neighbor_id", vec_col)
+    ql = _assign_lists(q, centroids, nprobe, "query_id", vec_col)
+    cand = (
+        ql.join(bl, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_similarity(F.col("query_id_v"), F.col("neighbor_id_v")), 6
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
 
 
 def lsh_bucketed_topk(

@@ -103,6 +103,12 @@ class Vector:
         return cls(df, size, typ)
 
     @classmethod
+    def from_list(cls, spark: SparkSession, values: Sequence) -> "Vector":
+        """Dense vector from a Python list, id = position (reference
+        ``Vector.from_list``, vector.py:359)."""
+        return cls.from_lists(spark, list(range(len(values))), list(values))
+
+    @classmethod
     def random(
         cls,
         spark: SparkSession,

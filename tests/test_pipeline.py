@@ -188,6 +188,23 @@ def test_lsh_topk_schema_and_recall(spark, emb):
     assert len(e1 & a1) >= len(e1) // 2
 
 
+def test_ivf_topk_schema_and_recall(spark, emb):
+    from pygraphblas_spark.pipeline.similarity import ivf_topk
+
+    q = emb.limit(10)
+    exact = cosine_topk_bruteforce(emb, q, k=1)
+    approx = ivf_topk(emb, q, k=1, n_centroids=8, nprobe=4)
+    assert approx.columns == exact.columns
+    e1 = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a1 = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # probing half the lists: demand >= 50% top-1 recall
+    assert len(e1 & a1) >= len(e1) // 2
+    # nprobe == n_centroids degenerates to exact search
+    full = ivf_topk(emb, q, k=1, n_centroids=8, nprobe=8)
+    f1 = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert f1 == e1
+
+
 # ---- multimodal plumbing ----
 
 

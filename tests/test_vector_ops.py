@@ -82,6 +82,13 @@ def test_from_1_to_n(spark):
     assert v.to_dict() == {0: 1, 1: 2, 2: 3}
 
 
+def test_from_list(spark):
+    # reference Vector.from_list (vector.py:359): id = position
+    v = Vector.from_list(spark, [7, 8, 9])
+    assert v.to_dict() == {0: 7, 1: 8, 2: 9}
+    assert v.size == 3
+
+
 def test_vector_pattern_cast(spark):
     v = VL(spark, [0, 2], [5, 7])
     assert v.pattern().to_dict() == {0: True, 2: True}
