@@ -57,8 +57,14 @@ ne = e.count()
 n = int(e.selectExpr("greatest(max(src),max(dst))").first()[0]) + 1
 # pre-materialized symmetrized table (deterministic, shared by both
 # levels) — cc/lpa consume it with directed=True so the probe measures
-# the iteration engine, not a repeated symmetrize shuffle
+# the iteration engine, not a repeated symmetrize shuffle; one shared
+# CSR block cache serves both (identical partitioning)
+from pygraphblas_spark.kernels.csr_dense import (
+    _BlockEngine, cc_dense_kernel, lpa_dense_kernel)
+from pygraphblas_spark.plans.checkpoint import iteration_conf
 es = spark.read.parquet(sym_path)
+with iteration_conf(spark):
+    eng = _BlockEngine(es.select("src", "dst"), n, None).build()
 
 out = {}
 def marginal(rec, total, did):
@@ -69,10 +75,10 @@ def marginal(rec, total, did):
 for algo, fn, mult in (
     ("pagerank", lambda ck: pagerank(e, n=n, tol=0.0, max_iters=iters,
                                      strategy="kernel", checkpoint=ck), 1),
-    ("cc", lambda ck: connected_components(es, n=n, max_iters=iters, directed=True,
-                                           strategy="kernel", checkpoint=ck), 2),
-    ("lpa", lambda ck: label_propagation(es, n=n, max_iters=min(iters, 5), directed=True,
-                                         strategy="kernel", checkpoint=ck), 2),
+    ("cc", lambda ck: cc_dense_kernel(es, n=n, max_iters=iters, directed=True,
+                                      checkpoint=ck, engine=eng), 2),
+    ("lpa", lambda ck: lpa_dense_kernel(es, n=n, max_iters=min(iters, 5), directed=True,
+                                        checkpoint=ck, engine=eng), 2),
 ):
     ck = CheckpointManager(algorithm=algo)
     t0 = time.time()
@@ -84,6 +90,7 @@ for algo, fn, mult in (
                  "per_iter_sec": round(m, 3),
                  "eps_iter": round(mult * ne / m)}
 
+eng.close()
 et = spark.read.parquet(tri_path).persist()
 net = et.count()
 t0 = time.time()

@@ -295,6 +295,7 @@ def cc_dense_kernel(
     directed: bool = False,
     num_blocks: int | None = None,
     checkpoint=None,
+    engine: "_BlockEngine | None" = None,
 ) -> DataFrame:
     """Connected components — min-label diffusion over cached CSR blocks.
 
@@ -312,11 +313,13 @@ def cc_dense_kernel(
     ckpt = checkpoint or CheckpointManager(algorithm="cc_kernel")
 
     with iteration_conf(spark):
-        eng = _BlockEngine(_symmetrized(edges, directed), n, num_blocks)
+        owned = engine is None
+        eng = engine or _BlockEngine(_symmetrized(edges, directed), n, num_blocks)
         n = eng.n
         if n == 0:
             return spark.createDataFrame([], "id long, component long")
-        eng.build()
+        if owned:
+            eng.build()
         idt = eng.idt
 
         labels = np.arange(n, dtype="int64")
@@ -363,7 +366,7 @@ def cc_dense_kernel(
                 if changed == 0:
                     break
         finally:
-            eng.close()
+            eng.close() if owned else eng._release_prev()
 
         return spark.createDataFrame(
             pd.DataFrame({"id": np.arange(n, dtype="int64"), "component": labels})
@@ -377,6 +380,7 @@ def lpa_dense_kernel(
     directed: bool = False,
     num_blocks: int | None = None,
     checkpoint=None,
+    engine: "_BlockEngine | None" = None,
 ) -> DataFrame:
     """Synchronous LPA over cached CSR blocks — most-frequent neighbor
     label, ties to the smallest label (deterministic, identical to
@@ -396,11 +400,13 @@ def lpa_dense_kernel(
     ckpt = checkpoint or CheckpointManager(algorithm="lpa_kernel")
 
     with iteration_conf(spark):
-        eng = _BlockEngine(_symmetrized(edges, directed), n, num_blocks)
+        owned = engine is None
+        eng = engine or _BlockEngine(_symmetrized(edges, directed), n, num_blocks)
         n = eng.n
         if n == 0:
             return spark.createDataFrame([], "id long, label long")
-        eng.build()
+        if owned:
+            eng.build()
         idt = eng.idt
         base = n + 1
 
@@ -464,7 +470,7 @@ def lpa_dense_kernel(
                 if changed == 0:
                     break
         finally:
-            eng.close()
+            eng.close() if owned else eng._release_prev()
 
         return spark.createDataFrame(
             pd.DataFrame({"id": np.arange(n, dtype="int64"), "label": labels})
