@@ -3,13 +3,15 @@
 The reference has no streaming (SURVEY.md §2.10) — this module covers the
 brief's streaming axis with the idiomatic Spark shapes a streaming link
 graph needs: edge-stream ingestion, incremental degree state, watermarked
-windowed event aggregation, and micro-batch graph maintenance via
-foreachBatch.
+windowed event aggregation, a custom stateful operator
+(applyInPandasWithState per-vertex degree state with timeout eviction),
+and micro-batch graph maintenance via foreachBatch.
 """
 
 from pygraphblas_spark.streaming.core import (
     stream_edges_from_files,
     streaming_out_degree,
+    stateful_degree_tracker,
     windowed_event_counts,
     run_to_completion,
     incremental_graph_maintenance,
@@ -18,6 +20,7 @@ from pygraphblas_spark.streaming.core import (
 __all__ = [
     "stream_edges_from_files",
     "streaming_out_degree",
+    "stateful_degree_tracker",
     "windowed_event_counts",
     "run_to_completion",
     "incremental_graph_maintenance",

@@ -90,6 +90,63 @@ def run_to_completion(
     return q
 
 
+def stateful_degree_tracker(
+    edges: DataFrame,
+    inactivity_timeout_ms: int = 0,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-vertex running out-degree and cumulative weight, maintained in
+    the state store across micro-batches (the streaming analog of the
+    engine's degree vector).
+
+    State schema: (degree: long, weight: double). Each micro-batch the
+    group's new edges arrive as pandas frames (Arrow batches — no per-row
+    Python); the updated running totals are emitted. With
+    ``inactivity_timeout_ms`` > 0, vertices idle longer than the timeout
+    have their state evicted and are emitted once with ``expired=true``
+    — bounded state on an unbounded stream.
+
+    Output: (id: long, degree: long, weight: double, expired: boolean).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if inactivity_timeout_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def track(key, pdfs, state: GroupState):
+        (vid,) = key
+        if state.hasTimedOut:
+            deg, wt = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"id": [vid], "degree": [deg], "weight": [wt], "expired": [True]}
+            )
+            return
+        deg, wt = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            deg += len(pdf)
+            wt += float(pdf["val"].fillna(0.0).sum())
+        state.update((deg, wt))
+        if inactivity_timeout_ms > 0:
+            state.setTimeoutDuration(inactivity_timeout_ms)
+        yield pd.DataFrame(
+            {"id": [vid], "degree": [deg], "weight": [wt], "expired": [False]}
+        )
+
+    return edges.groupBy(F.col("src")).applyInPandasWithState(
+        track,
+        outputStructType="id long, degree long, weight double, expired boolean",
+        stateStructType="degree long, weight double",
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
 def incremental_graph_maintenance(
     spark: SparkSession,
     stream_path: str,

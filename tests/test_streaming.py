@@ -101,3 +101,31 @@ def test_incremental_graph_maintenance(spark, tmp_path):
     assert t2.count() == 3  # existing (0,1) not re-appended
     pairs = {(r["src"], r["dst"]) for r in t2.collect()}
     assert pairs == {(0, 1), (2, 3), (4, 5)}
+
+
+def test_stateful_degree_tracker(spark, tmp_path):
+    """applyInPandasWithState custom operator: running per-vertex degree
+    and weight across micro-batches."""
+    from pygraphblas_spark.streaming import stateful_degree_tracker
+
+    src_dir = str(tmp_path / "edges_state")
+    write_edge_files(
+        src_dir,
+        [
+            [
+                {"src": 1, "dst": 2, "val": 1.0, "ts": "2026-01-01T00:00:00"},
+                {"src": 1, "dst": 3, "val": 2.0, "ts": "2026-01-01T00:00:01"},
+                {"src": 2, "dst": 3, "val": 5.0, "ts": "2026-01-01T00:00:02"},
+            ]
+        ],
+    )
+    edges = stream_edges_from_files(spark, src_dir)
+    tracked = stateful_degree_tracker(edges)
+    run_to_completion(
+        tracked, str(tmp_path / "ck_state"), output_mode="update",
+        query_name="deg_state",
+    )
+    rows = {r["id"]: r for r in spark.sql("select * from deg_state").collect()}
+    assert rows[1]["degree"] == 2 and rows[1]["weight"] == 3.0
+    assert rows[2]["degree"] == 1 and rows[2]["weight"] == 5.0
+    assert not rows[1]["expired"] and not rows[2]["expired"]
