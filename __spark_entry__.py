@@ -256,6 +256,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(f"{sf}/documents.parquet").limit(300)
         return minhash_lsh_candidates(docs, verify_threshold=0.5)
 
+    def embedding_near_dups(spark, sf):
+        # LSH-bucketed cosine near-dup (xxhash hyperplanes → rows-only;
+        # precision/recall covered by tests/test_pipeline.py)
+        from pygraphblas_spark.pipeline.dedup import embedding_near_duplicates
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return embedding_near_duplicates(emb, threshold=0.8, planes=4, tables=8)
+
     def simhash_sigs(spark, sf):
         from pygraphblas_spark.pipeline.dedup import simhash_signatures
 
@@ -298,6 +306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": cosine_topk,
         "ivf_topk_fullprobe": ivf_topk_fullprobe,
         "minhash_near_dups": minhash_near_dups,
+        "embedding_near_dups": embedding_near_dups,
         "simhash_sigs": simhash_sigs,
     }
 

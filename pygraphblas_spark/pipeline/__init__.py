@@ -16,6 +16,7 @@ from pygraphblas_spark.pipeline.text import (
     add_token_counts,
 )
 from pygraphblas_spark.pipeline.dedup import (
+    embedding_near_duplicates,
     exact_duplicates,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -32,6 +33,7 @@ __all__ = [
     "add_language_id",
     "add_quality",
     "add_token_counts",
+    "embedding_near_duplicates",
     "exact_duplicates",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",

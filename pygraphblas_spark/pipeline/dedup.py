@@ -293,3 +293,65 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    planes: int = 8,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    Sub-quadratic: candidates must share a random-hyperplane LSH bucket
+    in >= 1 of ``tables`` hash tables (reusing the similarity module's
+    deterministic hyperplanes); exact cosine is computed on candidates
+    only and thresholded. Returns (id_a, id_b, cos) with id_a < id_b.
+
+    Recall rises with ``tables`` (high-cosine pairs collide with
+    probability (1 - theta/pi)^planes per table); the exact-verify step
+    guarantees precision = 1.
+    """
+    from pygraphblas_spark.pipeline.similarity import (
+        cosine_similarity,
+        lsh_bucket_key,
+    )
+
+    def bucketed(idname):
+        v = F.col(vec_col)
+        return emb.select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(f"{idname}_v"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            lsh_bucket_key(v, planes, t).alias("bucket"),
+                        )
+                        for t in range(tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(idname, f"{idname}_v", "tb.tbl", "tb.bucket")
+
+    a = bucketed("id_a")
+    b = bucketed("id_b")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_a_v", "id_b", "id_b_v")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.round(cosine_similarity(F.col("id_a_v"), F.col("id_b_v")), 6).alias("cos"),
+    ).filter(F.col("cos") >= threshold)

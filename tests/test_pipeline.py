@@ -188,6 +188,35 @@ def test_lsh_topk_schema_and_recall(spark, emb):
     assert len(e1 & a1) >= len(e1) // 2
 
 
+def test_embedding_near_duplicates(spark, emb):
+    """LSH-bucketed cosine near-dup: precision 1 (exact verify), good
+    recall vs the exact all-pairs threshold set."""
+    from pygraphblas_spark.pipeline.dedup import embedding_near_duplicates
+    from pygraphblas_spark.pipeline.similarity import cosine_similarity
+
+    thr = 0.8
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            cosine_similarity(F.col("va"), F.col("vb")).alias("cos"),
+        )
+        .filter(F.col("cos") >= thr)
+        .collect()
+    }
+    got_rows = embedding_near_duplicates(
+        emb, threshold=thr, planes=4, tables=8
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in got_rows}
+    assert got <= exact  # precision 1 (allowing rounding at boundary)
+    if exact:
+        assert len(got & exact) >= max(1, len(exact) // 2)  # recall >= 50%
+
+
 def test_ivf_topk_schema_and_recall(spark, emb):
     from pygraphblas_spark.pipeline.similarity import ivf_topk
 
