@@ -261,8 +261,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # precision/recall covered by tests/test_pipeline.py)
         from pygraphblas_spark.pipeline.dedup import embedding_near_duplicates
 
+        # testdata embeddings are near-orthogonal (max pair cos ≈ 0.51 at
+        # sf0.01) — 0.35 sits in the top tail so the query returns rows
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-        return embedding_near_duplicates(emb, threshold=0.8, planes=4, tables=8)
+        return embedding_near_duplicates(emb, threshold=0.35, planes=4, tables=8)
 
     def simhash_sigs(spark, sf):
         from pygraphblas_spark.pipeline.dedup import simhash_signatures
