@@ -201,6 +201,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return label_propagation(_edges(spark, sf), max_iters=10)
 
+    def bfs_levels_q(spark, sf):
+        # BFS levels over the symmetrized order↔part graph from the
+        # minimum vertex id — oracle-checked against a DuckDB recursive
+        # CTE (the one iterative algorithm SQL can express exactly)
+        from pygraphblas_spark.algorithms import bfs_levels
+
+        e = _edges(spark, sf).select("src", "dst")
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        src0 = int(sym.agg(F.min("src")).first()[0])
+        return bfs_levels(sym, src0, max_levels=30).select(
+            "id", F.col("level").cast("int").alias("level")
+        )
+
     # ---- training-data pipeline queries (documents / embeddings) ----
 
     def exact_dedup(spark, sf):
@@ -300,6 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": pagerank_q,
         "connected_components": connected_components_q,
         "label_propagation": label_propagation_q,
+        "bfs_levels": bfs_levels_q,
         "codegraph_pagerank": codegraph_pagerank,
         "exact_dedup": exact_dedup,
         "token_counts": token_counts,
@@ -390,6 +406,17 @@ def oracle_sql() -> dict[str, str]:
             "         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank "
             "  FROM scored) "
             "SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5"
+        ),
+        "bfs_levels": (
+            "WITH RECURSIVE "
+            f"sym AS (SELECT src, dst FROM {_E} UNION SELECT dst AS src, src AS dst FROM {_E}), "
+            "r(id, level) AS ( "
+            "  SELECT MIN(src), 0 FROM sym "
+            "  UNION "
+            "  SELECT e.dst, r.level + 1 FROM sym e JOIN r ON e.src = r.id "
+            "  WHERE r.level < 30 "
+            ") "
+            "SELECT id, CAST(MIN(level) AS INT) AS level FROM r GROUP BY id"
         ),
         "ivf_topk_fullprobe": (
             "WITH scored AS ( "
