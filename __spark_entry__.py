@@ -216,6 +216,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", F.col("level").cast("int").alias("level")
         )
 
+    def sssp_q(spark, sf):
+        # min-plus SSSP with unit weights over the symmetrized graph ≡
+        # BFS hop distance → shares the recursive-CTE oracle shape
+        from pygraphblas_spark.algorithms import sssp
+
+        e = _edges(spark, sf).select("src", "dst")
+        sym = (
+            e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
+            .withColumn("val", F.lit(1.0))
+        )
+        src0 = int(sym.agg(F.min("src")).first()[0])
+        return sssp(sym, src0, max_iters=30).select(
+            "id", F.col("dist").cast("double").alias("dist")
+        )
+
     # ---- training-data pipeline queries (documents / embeddings) ----
 
     def exact_dedup(spark, sf):
@@ -316,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": connected_components_q,
         "label_propagation": label_propagation_q,
         "bfs_levels": bfs_levels_q,
+        "sssp_unit": sssp_q,
         "codegraph_pagerank": codegraph_pagerank,
         "exact_dedup": exact_dedup,
         "token_counts": token_counts,
@@ -417,6 +436,17 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE r.level < 30 "
             ") "
             "SELECT id, CAST(MIN(level) AS INT) AS level FROM r GROUP BY id"
+        ),
+        "sssp_unit": (
+            "WITH RECURSIVE "
+            f"sym AS (SELECT src, dst FROM {_E} UNION SELECT dst AS src, src AS dst FROM {_E}), "
+            "r(id, level) AS ( "
+            "  SELECT MIN(src), 0 FROM sym "
+            "  UNION "
+            "  SELECT e.dst, r.level + 1 FROM sym e JOIN r ON e.src = r.id "
+            "  WHERE r.level < 30 "
+            ") "
+            "SELECT id, CAST(MIN(level) AS DOUBLE) AS dist FROM r GROUP BY id"
         ),
         "ivf_topk_fullprobe": (
             "WITH scored AS ( "
