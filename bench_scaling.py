@@ -52,19 +52,12 @@ from pygraphblas_spark.algorithms import (
 from pygraphblas_spark.plans.checkpoint import CheckpointManager
 
 spark = get_spark("scaling_probe", cores=cores)
-e = spark.read.parquet(path)
+e = spark.read.parquet(path).persist()
 ne = e.count()
 n = int(e.selectExpr("greatest(max(src),max(dst))").first()[0]) + 1
-# pre-materialized symmetrized table (deterministic, shared by both
-# levels) — cc/lpa consume it with directed=True so the probe measures
-# the iteration engine, not a repeated symmetrize shuffle; one shared
-# CSR block cache serves both (identical partitioning)
 from pygraphblas_spark.kernels.csr_dense import (
     _BlockEngine, cc_dense_kernel, lpa_dense_kernel)
 from pygraphblas_spark.plans.checkpoint import iteration_conf
-es = spark.read.parquet(sym_path)
-with iteration_conf(spark):
-    eng = _BlockEngine(es.select("src", "dst"), n, None).build()
 
 out = {}
 def marginal(rec, total, did):
@@ -72,24 +65,38 @@ def marginal(rec, total, did):
         return (rec[-1]["elapsed_sec"] - rec[1]["elapsed_sec"]) / (did - 2)
     return total / max(did, 1)
 
-for algo, fn, mult in (
-    ("pagerank", lambda ck: pagerank(e, n=n, tol=0.0, max_iters=iters,
-                                     strategy="kernel", checkpoint=ck), 1),
-    ("cc", lambda ck: cc_dense_kernel(es, n=n, max_iters=iters, directed=True,
-                                      checkpoint=ck, engine=eng), 2),
-    ("lpa", lambda ck: lpa_dense_kernel(es, n=n, max_iters=min(iters, 5), directed=True,
-                                        checkpoint=ck, engine=eng), 2),
-):
-    ck = CheckpointManager(algorithm=algo)
-    t0 = time.time()
-    fn(ck).count()
-    total = time.time() - t0
-    did = len(ck.records)
-    m = marginal(ck.records, total, did)
-    out[algo] = {"total_sec": round(total, 1), "iters": did,
-                 "per_iter_sec": round(m, 3),
-                 "eps_iter": round(mult * ne / m)}
+def timed(algo, fn, mult, reps=2):
+    # best-of-reps marginal: rep 1 warms JIT/page cache; JVM/GC noise on a
+    # shared box otherwise dominates the per-algorithm numbers
+    best, iters_done, total1 = float("inf"), 0, 0.0
+    for _ in range(reps):
+        ck = CheckpointManager(algorithm=algo)
+        t0 = time.time()
+        fn(ck).count()
+        total = time.time() - t0
+        did = len(ck.records)
+        best = min(best, marginal(ck.records, total, did))
+        iters_done, total1 = did, total
+    out[algo] = {"total_sec": round(total1, 1), "iters": iters_done,
+                 "per_iter_sec": round(best, 3),
+                 "eps_iter": round(mult * ne / best)}
 
+timed("pagerank", lambda ck: pagerank(e, n=n, tol=0.0, max_iters=iters,
+                                      strategy="kernel", checkpoint=ck), 1)
+e.unpersist()
+
+# pre-materialized symmetrized table (deterministic, shared by both
+# levels) — cc/lpa consume it with directed=True so the probe measures
+# the iteration engine, not a repeated symmetrize shuffle; one shared
+# CSR block cache serves both (identical partitioning), built only after
+# pagerank so the algorithms don't compete for executor storage
+es = spark.read.parquet(sym_path)
+with iteration_conf(spark):
+    eng = _BlockEngine(es.select("src", "dst"), n, None).build()
+timed("cc", lambda ck: cc_dense_kernel(es, n=n, max_iters=iters, directed=True,
+                                       checkpoint=ck, engine=eng), 2)
+timed("lpa", lambda ck: lpa_dense_kernel(es, n=n, max_iters=min(iters, 5), directed=True,
+                                         checkpoint=ck, engine=eng), 2)
 eng.close()
 et = spark.read.parquet(tri_path).persist()
 net = et.count()
