@@ -12,6 +12,7 @@ from pygraphblas_spark.algorithms.triangles import triangle_count, triangle_coun
 from pygraphblas_spark.algorithms.bfs import bfs_levels
 from pygraphblas_spark.algorithms.sssp import sssp
 from pygraphblas_spark.algorithms.ktruss import k_truss
+from pygraphblas_spark.algorithms.betweenness import betweenness_centrality
 
 __all__ = [
     "pagerank",
@@ -22,4 +23,5 @@ __all__ = [
     "bfs_levels",
     "sssp",
     "k_truss",
+    "betweenness_centrality",
 ]

@@ -74,3 +74,41 @@ def triangle_oracle(I, J, n):
     A = np.maximum(A, A.T)
     np.fill_diagonal(A, 0.0)
     return int(round(np.trace(A @ A @ A) / 6.0))
+
+
+def betweenness_oracle(I, J, n, directed=True):
+    """Brandes betweenness (unweighted) — the reference algorithm
+    (gap/bcmark.py forward/backward passes) in plain Python."""
+    adj = [[] for _ in range(n)]
+    for i, j in zip(I, J):
+        if i == j:
+            continue
+        if j not in adj[i]:
+            adj[i].append(j)
+        if not directed and i not in adj[j]:
+            adj[j].append(i)
+    bc = np.zeros(n)
+    for s in range(n):
+        sigma = np.zeros(n)
+        sigma[s] = 1.0
+        dist = np.full(n, -1)
+        dist[s] = 0
+        order = [s]
+        head = 0
+        while head < len(order):
+            v = order[head]
+            head += 1
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    order.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = np.zeros(n)
+        for w in reversed(order):
+            for x in adj[w]:
+                if dist[x] == dist[w] + 1:
+                    delta[w] += sigma[w] / sigma[x] * (1.0 + delta[x])
+            if w != s:
+                bc[w] += delta[w]
+    return bc

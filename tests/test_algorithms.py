@@ -154,3 +154,51 @@ def test_pagerank_resume_from_checkpoint(spark, tmp_path):
     a = {r["id"]: r["rank"] for r in got.collect()}
     b = {r["id"]: r["rank"] for r in states["rank"].collect()}
     assert a == pytest.approx(b)
+
+
+def test_betweenness_matches_brandes_oracle(spark):
+    """Batched-source Brandes vs the plain-Python oracle, directed and
+    undirected, on the canonical 7-node doc graph."""
+    from pygraphblas_spark.algorithms import betweenness_centrality
+    from tests.oracles import betweenness_oracle
+
+    I = [0, 0, 1, 1, 2, 3, 3, 4, 5, 6, 6, 6]
+    J = [1, 3, 4, 6, 5, 0, 2, 5, 2, 2, 3, 4]
+    e = spark.createDataFrame(list(zip(I, J)), "src long, dst long")
+
+    for directed in (True, False):
+        want = betweenness_oracle(I, J, 7, directed=directed)
+        got = {
+            r["id"]: r["bc"]
+            for r in betweenness_centrality(e, directed=directed).collect()
+        }
+        for v in range(7):
+            assert got.get(v, 0.0) == pytest.approx(want[v], abs=1e-9), (
+                directed, v)
+
+
+def test_betweenness_sampled_sources(spark):
+    """Source sampling: running from a subset equals the oracle restricted
+    to those sources."""
+    from pygraphblas_spark.algorithms import betweenness_centrality
+
+    I = [0, 1, 2, 3, 4]
+    J = [1, 2, 3, 4, 0]  # 5-cycle
+    e = spark.createDataFrame(list(zip(I, J)), "src long, dst long")
+    got = {
+        r["id"]: r["bc"]
+        for r in betweenness_centrality(e, sources=[0, 2]).collect()
+    }
+    n = 5
+    expect = {0: 0.0, 1: 0.0, 2: 0.0, 3: 0.0, 4: 0.0}
+    for s in (0, 2):
+        # unique shortest paths in a directed 5-cycle: s->s+1..s+4; vertex
+        # v strictly between s and t on the cycle gets +1 per (s,t) pair
+        for t in range(n):
+            if t == s:
+                continue
+            d = (t - s) % n
+            for step in range(1, d):
+                expect[(s + step) % n] += 1.0
+    for v in range(n):
+        assert got.get(v, 0.0) == pytest.approx(expect[v], abs=1e-9), v
