@@ -11,6 +11,7 @@ clearly-marked Arrow kernels; no per-row Python anywhere.
 
 from pygraphblas_spark.pipeline.text import (
     add_fingerprint,
+    add_winnowing_fingerprints,
     add_language_id,
     add_quality,
     add_token_counts,
@@ -30,6 +31,7 @@ from pygraphblas_spark.pipeline.similarity import (
 
 __all__ = [
     "add_fingerprint",
+    "add_winnowing_fingerprints",
     "add_language_id",
     "add_quality",
     "add_token_counts",

@@ -100,3 +100,34 @@ def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.xxhash64(norm)).withColumn(
         "norm_sha", F.sha2(norm, 256)
     )
+
+
+def add_winnowing_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 8, window: int = 4
+) -> DataFrame:
+    """Append ``winnow_fps``: winnowing document fingerprints (the MOSS
+    scheme) — rolling k-gram hashes, then the minimum hash of each
+    sliding window of ``window`` grams, distinct.
+
+    Pure JVM higher-order functions: ``transform`` over gram positions
+    (``Column.substr`` with column offsets — one pass, no Python),
+    ``slice``+``array_min`` per window. Guarantees any shared substring
+    of length ≥ k+window-1 yields a shared fingerprint — the standard
+    near-dup/overlap primitive for plagiarism- and contamination-style
+    matching at corpus scale.
+    """
+    t = F.col(text_col)
+    norm = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.xxhash64(norm.substr(i, F.lit(k))),
+    )
+    n_wins = F.greatest(F.size(grams) - (window - 1), F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_wins),
+            lambda i: F.array_min(F.slice(grams, i, window)),
+        )
+    )
+    return df.withColumn("winnow_fps", fps)

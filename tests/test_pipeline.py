@@ -267,3 +267,32 @@ def test_multimodal_features(spark):
 
     with _pytest.raises(NotImplementedError):
         extract_features(media, decode_stub=False)
+
+
+def test_winnowing_fingerprints(spark):
+    """Winnowing guarantee: documents sharing a long substring share at
+    least one fingerprint; disjoint documents share none."""
+    from pygraphblas_spark.pipeline.text import add_winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (0, f"PREFIX A {shared} SUFFIX ONE"),
+            (1, f"other start {shared} different end"),
+            (2, "zzzz completely unrelated qqqq content 1234"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: set(r["winnow_fps"])
+        for r in add_winnowing_fingerprints(docs, k=8, window=4).collect()
+    }
+    assert rows[0] & rows[1]            # shared substring -> shared fp
+    assert not (rows[0] & rows[2])      # unrelated -> disjoint
+    assert not (rows[1] & rows[2])
+    # deterministic across recomputation
+    rows2 = {
+        r["doc_id"]: set(r["winnow_fps"])
+        for r in add_winnowing_fingerprints(docs, k=8, window=4).collect()
+    }
+    assert rows == rows2
