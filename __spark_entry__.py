@@ -216,6 +216,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", F.col("level").cast("int").alias("level")
         )
 
+    def betweenness_q(spark, sf):
+        # 4-source batched Brandes (gap/bcmark.py batch idiom) over the
+        # symmetrized graph — rows-only (not SQL-expressible)
+        from pygraphblas_spark.algorithms import betweenness_centrality
+
+        e = _edges(spark, sf).select("src", "dst")
+        srcs = [r["src"] for r in e.select("src").distinct().orderBy("src").limit(4).collect()]
+        return betweenness_centrality(e, sources=srcs, directed=False).select(
+            "id", F.round("bc", 6).alias("bc")
+        )
+
     def sssp_q(spark, sf):
         # min-plus SSSP with unit weights over the symmetrized graph ≡
         # BFS hop distance → shares the recursive-CTE oracle shape
@@ -335,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": label_propagation_q,
         "bfs_levels": bfs_levels_q,
         "sssp_unit": sssp_q,
+        "betweenness_4src": betweenness_q,
         "codegraph_pagerank": codegraph_pagerank,
         "exact_dedup": exact_dedup,
         "token_counts": token_counts,
