@@ -856,6 +856,41 @@ class Matrix:
             self.typ,
         )
 
+    def __setitem__(self, index, value) -> None:
+        """Mutating assign sugar (reference matrix.py:3241): A[i,j]=v,
+        A[i,:]=Vector, A[:,j]=Vector, A[Mask]=scalar, A[:, :]=scalar.
+        DataFrames are immutable — the facade rebinds ``self.df`` to the
+        assigned frame (same observable semantics as the reference)."""
+        from pygraphblas_spark.vector import Vector
+
+        if isinstance(index, Matrix):  # masked scalar assign
+            out = self.assign_scalar(value, mask=index)
+        elif isinstance(index, tuple) and len(index) == 2:
+            i, j = index
+            if isinstance(i, int) and isinstance(j, int):
+                out = self.set_element(i, j, value)
+            elif isinstance(i, int) and isinstance(value, Vector):
+                out = self.assign_row(i, value)
+            elif isinstance(j, int) and isinstance(value, Vector):
+                out = self.assign_col(j, value)
+            elif isinstance(value, Matrix):
+                out = self.assign_matrix(value, rows=i, cols=j)
+            else:
+                out = self.assign_scalar(value, rows=i, cols=j)
+        else:
+            raise TypeError(f"bad assign index {index!r}")
+        self.df = out.df
+
+    def __delitem__(self, index) -> None:
+        """Single-element delete (reference matrix.py:3310)."""
+        if not (
+            isinstance(index, tuple)
+            and len(index) == 2
+            and all(isinstance(x, int) for x in index)
+        ):
+            raise TypeError(f"bad delete index {index!r}")
+        self.df = self.del_element(*index).df
+
     # ------------------------------------------------------------------
     # Comparison / equality (reference matrix.py:2323-2457)
     # ------------------------------------------------------------------

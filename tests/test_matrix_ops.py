@@ -314,3 +314,26 @@ def test_apply_ops(spark):
     assert m.apply_second("PLUS", 1.0).to_lists()[2] == [5.0, 10.0]
     assert m.apply_first(1.0, "MINUS").to_lists()[2] == [-3.0, -8.0]
     assert m.apply("POSITIONI").to_lists()[2] == [0, 1]
+
+
+def test_setitem_delitem_sugar(spark):
+    """Mutating sugar: A[i,j]=v, A[i,:]=Vector, A[Mask]=s, del A[i,j]
+    (reference matrix.py:3241/3310)."""
+    from pygraphblas_spark import Matrix, Vector
+
+    m = Matrix.from_lists(spark, [0, 1], [1, 2], [1.0, 2.0], 3, 3)
+    m[2, 0] = 9.0
+    assert m.to_dict() == {(0, 1): 1.0, (1, 2): 2.0, (2, 0): 9.0}
+    m[0, 1] = 5.0  # overwrite
+    assert m.to_dict()[(0, 1)] == 5.0
+    del m[2, 0]
+    assert (2, 0) not in m.to_dict()
+    # row assign
+    v = Vector.from_lists(spark, [0, 2], [7.0, 8.0], size=3)
+    m[1, :] = v
+    d = m.to_dict()
+    assert d[(1, 0)] == 7.0 and d[(1, 2)] == 8.0
+    # masked scalar assign
+    mask = Matrix.from_lists(spark, [0], [1], True, 3, 3)
+    m[mask] = 0.5
+    assert m.to_dict()[(0, 1)] == 0.5
