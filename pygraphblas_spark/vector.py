@@ -420,6 +420,35 @@ class Vector:
             return self.extract_element(index)
         return self.extract(index)
 
+    def __setitem__(self, index, value) -> None:
+        """Mutating assign sugar (reference vector.py:1430): v[i]=x,
+        v[:]=x / v[a:b]=x (scalar fill), v[mask]=x, v[:]=Vector. The
+        facade rebinds ``self.df`` (DataFrames are immutable)."""
+        if isinstance(index, Vector):
+            out = self.assign_scalar(value, mask=index)
+        elif isinstance(index, int):
+            out = (
+                self.set_element(index, value)
+                if not isinstance(value, Vector)
+                else self.assign(value)
+            )
+        elif isinstance(index, slice):
+            if isinstance(value, Vector):
+                out = self.assign(value)
+            else:
+                out = self.assign_scalar(
+                    value, sel=None if index == slice(None) else index
+                )
+        else:
+            raise TypeError(f"bad assign index {index!r}")
+        self.df = out.df
+
+    def __delitem__(self, index) -> None:
+        """Single-element delete (reference vector.py:1532)."""
+        if not isinstance(index, int):
+            raise TypeError(f"bad delete index {index!r}")
+        self.df = self.del_element(index).df
+
     # -- equality & sugar --
 
     def iseq(self, other: "Vector") -> bool:

@@ -100,3 +100,20 @@ def test_dense_iso(spark):
     assert v.to_dict() == {0: 0.25, 1: 0.25, 2: 0.25, 3: 0.25}
     w = Vector.iso(spark, 1.0, 3)
     assert w.to_dict() == {0: 1.0, 1: 1.0, 2: 1.0}
+
+
+def test_vector_setitem_delitem_sugar(spark):
+    """Mutating sugar: v[i]=x, v[:]=x, v[a:b]=x, v[mask]=x, del v[i]
+    (reference vector.py:1430/1532)."""
+    v = Vector.from_lists(spark, [0, 2], [1.0, 2.0], size=4)
+    v[1] = 9.0
+    assert v.to_dict() == {0: 1.0, 1: 9.0, 2: 2.0}
+    del v[1]
+    assert v.to_dict() == {0: 1.0, 2: 2.0}
+    v[:] = 0.5  # PageRank teleport-reset idiom
+    assert v.to_dict() == {0: 0.5, 1: 0.5, 2: 0.5, 3: 0.5}
+    v[1:2] = 7.0
+    assert v.to_dict() == {0: 0.5, 1: 7.0, 2: 7.0, 3: 0.5}
+    mask = Vector.from_lists(spark, [3], [True], size=4)
+    v[mask] = -1.0
+    assert v.to_dict()[3] == -1.0
