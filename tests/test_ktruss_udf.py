@@ -65,3 +65,46 @@ def test_user_defined_algebra(spark):
 
     # logsumexp(0+1, 0+1) = log(2e) = 1 + ln 2
     assert r.to_dict()[(0, 0)] == pytest.approx(1.0 + math.log(2.0), abs=1e-9)
+
+
+def test_struct_valued_shortest_path_semiring(spark):
+    """UDT-analog (reference tests/test_udt.py:11-52 Bellman-Ford
+    (w, h, pi) triples): struct<w,h,pi> values flow through the generic
+    contraction + eadd machinery with a user semiring — min-by-(weight,
+    hops, parent) ⊕, (w₁+w₂, h₁+h₂, edge-src) ⊗. Spark orders structs
+    lexicographically, so F.min/F.least ARE the UDT monoid."""
+    from pygraphblas_spark.algebra import binary_op, monoid, semiring
+    from pygraphblas_spark.operators.contraction import mxv
+    from pygraphblas_spark.operators import core
+
+    # diamond: 0→1 (1), 0→2 (4), 1→2 (1), 2→3 (1), 1→3 (5)
+    E = [(0, 1, 1.0), (0, 2, 4.0), (1, 2, 1.0), (2, 3, 1.0), (1, 3, 5.0)]
+    # transpose orientation for the pull step; edge val carries pi=src
+    at = spark.createDataFrame(
+        [(j, i, {"w": w, "h": 1, "pi": i}) for i, j, w in E],
+        "src long, dst long, val struct<w double, h int, pi long>",
+    )
+    sp_mul = binary_op(
+        "SP_EXTEND",
+        lambda a, b: F.struct(
+            (a["w"] + b["w"]).alias("w"),
+            (a["h"] + b["h"]).alias("h"),
+            a["pi"].alias("pi"),
+        ),
+    )
+    sp = semiring("SP_MIN_EXTEND", monoid("SP_MIN", F.min, None, "MIN"), sp_mul)
+    least = binary_op("SP_LEAST", lambda a, b: F.least(a, b))
+
+    dist = spark.createDataFrame(
+        [(0, {"w": 0.0, "h": 0, "pi": 0})],
+        "id long, val struct<w double, h int, pi long>",
+    )
+    for _ in range(4):
+        relaxed = mxv(at, dist, sp)
+        dist = core.ewise_add(dist, relaxed, ["id"], least)
+    got = {r["id"]: (r["val"]["w"], r["val"]["h"], r["val"]["pi"])
+           for r in dist.collect()}
+    assert got[0] == (0.0, 0, 0)
+    assert got[1] == (1.0, 1, 0)          # 0→1
+    assert got[2] == (2.0, 2, 1)          # 0→1→2 beats 0→2 (4)
+    assert got[3] == (3.0, 3, 2)          # 0→1→2→3 beats 0→1→3 (6)
