@@ -51,7 +51,11 @@ from pygraphblas_spark.algorithms import (
     pagerank, connected_components, label_propagation, triangle_count)
 from pygraphblas_spark.plans.checkpoint import CheckpointManager
 
-spark = get_spark("scaling_probe", cores=cores)
+# identical physical plans at every level: 32 shuffle partitions (and
+# therefore 32 CSR blocks) regardless of core count — only the thread
+# count varies between levels, so fine-grained tasks balance across
+# whatever cores exist instead of 8 coarse blocks straggling on 8 cores
+spark = get_spark("scaling_probe", cores=cores, shuffle_partitions=32)
 e = spark.read.parquet(path).persist()
 ne = e.count()
 n = int(e.selectExpr("greatest(max(src),max(dst))").first()[0]) + 1
