@@ -69,24 +69,27 @@ def marginal(rec, total, did):
         return (rec[-1]["elapsed_sec"] - rec[1]["elapsed_sec"]) / (did - 2)
     return total / max(did, 1)
 
-def timed(algo, fn, mult, reps=2):
-    # best-of-reps marginal: rep 1 warms JIT/page cache; JVM/GC noise on a
-    # shared box otherwise dominates the per-algorithm numbers
-    best, iters_done, total1 = float("inf"), 0, 0.0
+def timed(algo, fn, edge_count, reps=2):
+    # best-of-reps: rep 1 warms JIT/page cache; JVM/GC noise on a shared
+    # box otherwise dominates. total/iters/marginal all come from the
+    # winning rep (consistent provenance).
+    best = None
     for _ in range(reps):
         ck = CheckpointManager(algorithm=algo)
         t0 = time.time()
         fn(ck).count()
         total = time.time() - t0
         did = len(ck.records)
-        best = min(best, marginal(ck.records, total, did))
-        iters_done, total1 = did, total
-    out[algo] = {"total_sec": round(total1, 1), "iters": iters_done,
-                 "per_iter_sec": round(best, 3),
-                 "eps_iter": round(mult * ne / best)}
+        m = marginal(ck.records, total, did)
+        if best is None or m < best[0]:
+            best = (m, total, did)
+    m, total, did = best
+    out[algo] = {"total_sec": round(total, 1), "iters": did,
+                 "per_iter_sec": round(m, 3),
+                 "eps_iter": round(edge_count / m)}
 
 timed("pagerank", lambda ck: pagerank(e, n=n, tol=0.0, max_iters=iters,
-                                      strategy="kernel", checkpoint=ck), 1)
+                                      strategy="kernel", checkpoint=ck), ne)
 e.unpersist()
 
 # pre-materialized symmetrized table (deterministic, shared by both
@@ -95,12 +98,14 @@ e.unpersist()
 # CSR block cache serves both (identical partitioning), built only after
 # pagerank so the algorithms don't compete for executor storage
 es = spark.read.parquet(sym_path)
+nes = es.count()  # actual symmetrized row count (commit edges are
+                  # reciprocal in the source graph, so nes < 2*ne)
 with iteration_conf(spark):
     eng = _BlockEngine(es.select("src", "dst"), n, None).build()
 timed("cc", lambda ck: cc_dense_kernel(es, n=n, max_iters=iters, directed=True,
-                                       checkpoint=ck, engine=eng), 2)
+                                       checkpoint=ck, engine=eng), nes)
 timed("lpa", lambda ck: lpa_dense_kernel(es, n=n, max_iters=min(iters, 5), directed=True,
-                                         checkpoint=ck, engine=eng), 2)
+                                         checkpoint=ck, engine=eng), nes)
 eng.close()
 et = spark.read.parquet(tri_path).persist()
 net = et.count()
@@ -112,7 +117,8 @@ out["triangles"] = {"total_sec": round(dt, 1), "iters": 1,
                     "eps_iter": round(net / dt), "triangles": tri,
                     "tri_edges": net}
 print("PROBE_RESULT " + json.dumps(
-    {"cores": int(cores), "edges": ne, "n": n, "algos": out}), flush=True)
+    {"cores": int(cores), "edges": ne, "sym_edges": nes, "n": n,
+     "algos": out}), flush=True)
 """
 
 
@@ -208,7 +214,7 @@ def main():
         f"- input: deterministic synthetic code graph, {args.files:,} files →"
         f" {r_low['edges']:,} edges, n={r_low['n']:,} vertices (`{os.path.relpath(path, REPO)}`);"
         f" cc/lpa consume the pre-materialized symmetrized table"
-        f" ({2 * r_low['edges']:,}-ish directed edges); the one-shot"
+        f" ({r_low.get('sym_edges', 2 * r_low['edges']):,} directed edges); the one-shot"
         f" triangle-count probe uses the {args.tri_files:,}-file graph"
         f" ({r_low['algos'].get('triangles', {}).get('tri_edges', 0):,} edges)"
         f" to keep the low-parallelism run bounded",

@@ -59,6 +59,18 @@ def betweenness_centrality(
         )
         n = verts.count()
 
+        try:
+            return _bc_passes(
+                spark, e, verts, n, sources, normalized, max_levels
+            )
+        finally:
+            e.unpersist()
+            verts.unpersist()
+
+
+def _bc_passes(spark, e, verts, n, sources, normalized, max_levels):
+        from pygraphblas_spark.plans.checkpoint import release_state
+
         if sources is None:
             srcs = verts.select(F.col("id").alias("source"))
         else:
@@ -97,9 +109,11 @@ def betweenness_centrality(
             if nxt.isEmpty():
                 break
             levels.append(nxt)
+            prev_visited = visited
             visited = visited.unionByName(
                 nxt.select("source", "id", "sigma", F.lit(depth).alias("level"))
             ).localCheckpoint(eager=True)
+            release_state(prev_visited)
             frontier = nxt
 
         # backward: delta over levels deepest-first
@@ -140,6 +154,8 @@ def betweenness_centrality(
                 .groupBy("source", "id")
                 .agg(F.sum("d").alias("delta"))
             )
+            # NB: superseded deltas are NOT released — bc_parts keeps a
+            # reference to every level's delta until the final union
             delta = contrib.localCheckpoint(eager=True)
             # deltas at this (now settled) predecessor level accumulate
             # into bc for non-source vertices
@@ -159,6 +175,6 @@ def betweenness_centrality(
         )
         if normalized and n > 2:
             bc = bc.select("id", (F.col("bc") / ((n - 1) * (n - 2))).alias("bc"))
-        e.unpersist()
-        verts.unpersist()
-        return bc
+        # materialize before the caller's finally unpersists e/verts —
+        # the returned frame must not depend on the dropped caches
+        return bc.localCheckpoint(eager=True)

@@ -149,6 +149,16 @@ def _cc_loop(spark, edges, n, max_iters, directed, ckpt, num_partitions):
         frontier_rows = changed
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: not converged after {max_iters} "
+            f"iterations ({changed} labels still changing) — components "
+            "may be split; raise max_iters (graph diameter bounds the "
+            "iteration count)",
+            RuntimeWarning,
+        )
 
     e.unpersist()
     return labels

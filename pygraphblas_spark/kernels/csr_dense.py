@@ -56,7 +56,7 @@ from pyspark.sql import functions as F
 DENSE_KERNEL_MAX_ROWS = 10_000_000
 
 
-def _build_blocks(e: DataFrame, num_blocks: int, narrow: bool):
+def _build_blocks(e: DataFrame, narrow: bool):
     """Compress dst-partitioned, dst-sorted edges into per-partition CSR
     arrays stored as binary cells (one row per non-empty block)."""
     import pyarrow as pa
@@ -121,7 +121,7 @@ class _BlockEngine:
                 F.col("dst").cast("int").alias("dst"),
             )
         e = e.repartition(self.num_blocks, "dst").sortWithinPartitions("dst")
-        self.blocks, self.idt = _build_blocks(e, self.num_blocks, self.narrow)
+        self.blocks, self.idt = _build_blocks(e, self.narrow)
         if self.local_mode:
             self.tmpdir = tempfile.mkdtemp(prefix="pgb_vec_")
         return self
@@ -166,27 +166,14 @@ class _BlockEngine:
             shutil.rmtree(self.tmpdir, ignore_errors=True)
 
 
-def _record(ckpt, iteration: int, metrics: dict):
-    import time
-
-    ckpt.records.append(
-        {
-            "iteration": iteration,
-            "algorithm": ckpt.algorithm,
-            "elapsed_sec": round(time.time() - ckpt._t0, 3),
-            "metrics": metrics,
-            "durable": False,
-        }
-    )
-
-
 def _maybe_durable(ckpt, spark, iteration: int, name: str, ids, vals, col, metrics):
-    """Write a durable parquet state + manifest record on cadence."""
-    if ckpt.durable and iteration % ckpt.interval == 0:
+    """Write a durable parquet state + manifest record on cadence; a
+    metrics-only record otherwise (state lives driver-side as numpy)."""
+    if ckpt.on_cadence(iteration):
         df = spark.createDataFrame(pd.DataFrame({"id": ids, col: vals}))
         ckpt.save(iteration, {name: df}, metrics)
     else:
-        _record(ckpt, iteration, metrics)
+        ckpt.record(iteration, metrics)
 
 
 def pagerank_dense_kernel(
@@ -212,20 +199,25 @@ def pagerank_dense_kernel(
     ckpt = checkpoint or CheckpointManager(algorithm="pagerank_kernel")
 
     with iteration_conf(spark):
-        eng = _BlockEngine(edges.select("src", "dst"), n, num_blocks)
+        # one cached scan feeds both setup passes (degree agg + block
+        # build) instead of two reads of the source
+        e_src = edges.select("src", "dst").persist()
+        eng = _BlockEngine(e_src, n, num_blocks)
         n = eng.n
         if n == 0:
+            e_src.unpersist()
             return spark.createDataFrame([], "id long, rank double")
 
         # out-degree → inv_d = damping/outdeg (0 for dangling; GAP leak)
         deg_pd = (
-            eng.edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).toPandas()
+            e_src.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).toPandas()
         )
         inv_d = np.zeros(n, dtype="float64")
         inv_d[deg_pd["src"].to_numpy()] = damping / deg_pd["deg"].to_numpy(
             dtype="float64"
         )
         eng.build()
+        e_src.unpersist()
         idt = eng.idt
 
         teleport = (1.0 - damping) / n
@@ -365,6 +357,16 @@ def cc_dense_kernel(
                 )
                 if changed == 0:
                     break
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"cc_dense_kernel: not converged after {max_iters} "
+                    f"iterations ({changed} labels still changing) — "
+                    "components may be split; raise max_iters (graph "
+                    "diameter bounds the iteration count)",
+                    RuntimeWarning,
+                )
         finally:
             eng.close() if owned else eng._release_prev()
 

@@ -127,6 +127,24 @@ class CheckpointManager:
         stores partitions on executors — no parquet round-trip."""
         return df.localCheckpoint(eager=True)
 
+    def record(self, iteration: int, metrics: dict) -> dict:
+        """Append a non-durable manifest record (metrics-only iteration —
+        the kernel paths use this when state lives driver-side as numpy).
+        Same schema as :meth:`save`'s records."""
+        rec = {
+            "iteration": iteration,
+            "algorithm": self.algorithm,
+            "elapsed_sec": round(time.time() - self._t0, 3),
+            "metrics": metrics,
+            "durable": False,
+        }
+        self.records.append(rec)
+        return rec
+
+    def on_cadence(self, iteration: int) -> bool:
+        """True when this iteration should be durably persisted."""
+        return self.durable and iteration % self.interval == 0
+
     # -- durable checkpoint + manifest --
 
     def save(
