@@ -32,6 +32,217 @@ _MR = (
 )
 
 
+# ---------------------------------------------------------------------
+# Oracle SQL builders (DuckDB) for the iterative / hash-based queries.
+# Each mirrors the Spark implementation op-for-op — same update rule,
+# same hash (sha256-derived 60-bit, pipeline/dedup.py _sha60), same
+# float fold order — so rows+schema+value-hash all match exactly.
+# ---------------------------------------------------------------------
+
+
+def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank (matches algorithms/pagerank.py:
+    r' = (1-d)/n + Σ_in r·d/outdeg, GAP dangling semantics)."""
+    parts = [
+        f"WITH e AS MATERIALIZED {_E}",
+        "mx AS (SELECT MAX(GREATEST(src, dst)) + 1 AS n FROM e)",
+        f"d AS (SELECT src, {damping} / COUNT(*) AS w FROM e GROUP BY src)",
+        "ew AS MATERIALIZED (SELECT e.src, e.dst, d.w FROM e JOIN d USING (src))",
+        "v AS MATERIALIZED (SELECT unnest(generate_series(0, (SELECT n FROM mx) - 1)) AS id)",
+        "r0 AS (SELECT id, 1.0 / (SELECT n FROM mx) AS rank FROM v)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT v.id, "
+            f"(1.0 - {damping}) / (SELECT n FROM mx) + COALESCE(c.c, 0.0) AS rank "
+            f"FROM v LEFT JOIN (SELECT ew.dst AS id, SUM(p.rank * ew.w) AS c "
+            f"FROM ew JOIN r{i - 1} p ON ew.src = p.id GROUP BY ew.dst) c ON v.id = c.id)"
+        )
+    return ", ".join(parts) + f" SELECT id, ROUND(rank, 9) AS rank FROM r{iters}"
+
+
+def _cc_oracle() -> str:
+    """Min-reachable-id over the symmetrized graph (recursive CTE). The
+    pruning ``lab < dst`` is lossless for the MIN aggregate: a
+    component's minimum label is smaller than every other member, so its
+    diffusion is never blocked. Isolated vertices (ids 0..max not in any
+    edge) label themselves."""
+    return (
+        "WITH RECURSIVE "
+        f"e AS MATERIALIZED {_E}, "
+        "sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+        "r(id, lab) AS ("
+        "  SELECT src, src FROM sym"
+        "  UNION"
+        "  SELECT s.dst, r.lab FROM sym s JOIN r ON s.src = r.id WHERE r.lab < s.dst"
+        "), "
+        "comp AS (SELECT id, MIN(lab) AS component FROM r GROUP BY id), "
+        "mx AS (SELECT MAX(GREATEST(src, dst)) AS m FROM e), "
+        "v AS (SELECT unnest(generate_series(0, (SELECT m FROM mx))) AS id) "
+        "SELECT v.id, COALESCE(comp.component, v.id) AS component "
+        "FROM v LEFT JOIN comp ON v.id = comp.id"
+    )
+
+
+def _lpa_oracle(iters: int = 10) -> str:
+    """Unrolled synchronous LPA (matches algorithms/labelprop.py: every
+    vertex adopts its most frequent neighbor label, ties to the smallest
+    label, vertices with no neighbors keep theirs). MATERIALIZED stops
+    DuckDB inlining each round's CTE twice (2^iters blowup)."""
+    parts = [
+        f"WITH e AS {_E}",
+        "sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e)",
+        "mx AS (SELECT MAX(GREATEST(src, dst)) + 1 AS n FROM e)",
+        "v AS MATERIALIZED (SELECT unnest(generate_series(0, (SELECT n FROM mx) - 1)) AS id)",
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM v)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT pv.id, COALESCE(w.new_label, pv.label) AS label "
+            f"FROM l{i - 1} pv LEFT JOIN ("
+            f"SELECT vid, label AS new_label FROM ("
+            f"SELECT s.dst AS vid, p.label, "
+            f"ROW_NUMBER() OVER (PARTITION BY s.dst ORDER BY COUNT(*) DESC, p.label ASC) AS rn "
+            f"FROM sym s JOIN l{i - 1} p ON s.src = p.id GROUP BY s.dst, p.label"
+            f") WHERE rn = 1) w ON pv.id = w.vid)"
+        )
+    return ", ".join(parts) + f" SELECT id, label FROM l{iters}"
+
+
+def _hex60(expr: str, seed) -> str:
+    """DuckDB twin of pipeline/dedup.py ``_sha60``: first 15 hex chars of
+    sha256('<seed>' || US || x) as a 60-bit BIGINT."""
+    inner = f"sha256('{seed}' || chr(31) || ({expr}))"
+    return (
+        f"list_reduce(list_transform(generate_series(1, 15), "
+        f"i -> CAST(strpos('0123456789abcdef', substr({inner}, i, 1)) - 1 AS BIGINT)), "
+        f"(a, b) -> a * 16 + b)"
+    )
+
+
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_SHINGLES = (
+    "CASE WHEN len(string_split({n}, ' ')) - 2 <= 0 THEN [{n}] "
+    "ELSE list_distinct(list_transform(generate_series(1, len(string_split({n}, ' ')) - 2), "
+    "i -> array_to_string(string_split({n}, ' ')[i:i+2], ' '))) END"
+).format(n=_NORM)
+
+
+def _minhash_oracle(num_perm: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    """Full MinHash-LSH twin (sha256 hash mode): shingle → per-perm min →
+    banded buckets → candidate pairs → exact-Jaccard verify. Every stage
+    mirrors pipeline/dedup.py so even the LSH recall losses agree."""
+    rpb = num_perm // bands
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(sh, s -> {_hex60('s', j)})) AS s{j}"
+        for j in range(num_perm)
+    )
+    band_exprs = ", ".join(
+        "{h} AS b{b}".format(
+            h=_hex60(
+                " || ',' || ".join(
+                    f"CAST(s{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+                ),
+                10000 + b,
+            ),
+            b=b,
+        )
+        for b in range(bands)
+    )
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, b{b} AS bucket FROM sigs" for b in range(bands)
+    )
+    return (
+        f"WITH d AS MATERIALIZED (SELECT doc_id, {_SHINGLES} AS sh "
+        "FROM documents WHERE doc_id < 300), "
+        f"sigs AS MATERIALIZED (SELECT doc_id, {band_exprs} "
+        f"FROM (SELECT doc_id, {sig_exprs} FROM d)), "
+        f"banded AS MATERIALIZED ({bucket_rows}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket "
+        "WHERE a.doc_id < b.doc_id) "
+        "SELECT id_a, id_b, "
+        "len(list_intersect(da.sh, db.sh)) / "
+        "(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) AS jaccard "
+        "FROM cand JOIN d da ON cand.id_a = da.doc_id "
+        "JOIN d db ON cand.id_b = db.doc_id "
+        f"WHERE jaccard >= {threshold}"
+    )
+
+
+def _simhash_oracle(bits: int = 64) -> str:
+    """SimHash twin (sha256 hash mode): per-bit majority vote over
+    sha256-derived 60-bit token hashes (bits 60+ are always 0, matching
+    the Spark side exactly)."""
+    votes = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(th, h -> "
+        f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(min(bits, 60))
+    )
+    return (
+        "WITH t AS MATERIALIZED ("
+        f"SELECT doc_id, list_transform(string_split({_NORM}, ' '), "
+        f"tok -> {_hex60('tok', 0)}) AS th "
+        "FROM documents WHERE doc_id < 300) "
+        f"SELECT doc_id, CAST({votes} AS BIGINT) AS simhash FROM t"
+    )
+
+
+def _embedding_near_dup_oracle(
+    planes: int = 4, tables: int = 8, threshold: float = 0.35
+) -> str:
+    """Hyperplane-LSH near-dup twin: the same Python-precomputed sha256
+    hyperplanes (similarity.hyperplane_values) are embedded as literals;
+    dot products mirror Spark's fold exactly (float multiply, sequential
+    double accumulation), so buckets AND cosines agree bit-for-bit."""
+    from pygraphblas_spark.pipeline.similarity import hyperplane_values
+
+    dim = 64  # embeddings.parquet vector dimension
+
+    def bucket_expr(t):
+        hv = hyperplane_values(planes, t, dim)
+        bits = []
+        for p in range(planes):
+            lit = "[" + ", ".join(repr(x) for x in hv[p]) + "]"
+            proj = (
+                f"list_reduce(list_transform(embedding, "
+                f"(x, i) -> CAST(x AS DOUBLE) * ({lit})[i]), (a, b) -> a + b)"
+            )
+            bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(bits)
+
+    def dot(a, b):
+        return (
+            f"list_reduce(list_transform({a}, (x, i) -> "
+            f"CAST(x * ({b})[i] AS DOUBLE)), (p, q) -> p + q)"
+        )
+
+    def norm(a):
+        return (
+            f"sqrt(list_reduce(list_transform({a}, x -> "
+            f"CAST(x AS DOUBLE) * x), (p, q) -> p + q))"
+        )
+
+    per_table = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket_expr(t)} AS bucket FROM embeddings"
+        for t in range(tables)
+    )
+    return (
+        f"WITH buckets AS MATERIALIZED ({per_table}), "
+        "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
+        "FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket "
+        "WHERE a.vec_id < b.vec_id), "
+        "scored AS (SELECT id_a, id_b, "
+        f"{dot('va.embedding', 'vb.embedding')} / "
+        f"({norm('va.embedding')} * {norm('vb.embedding')}) AS cos_exact "
+        "FROM cand JOIN embeddings va ON cand.id_a = va.vec_id "
+        "JOIN embeddings vb ON cand.id_b = vb.vec_id) "
+        "SELECT id_a, id_b, ROUND(cos_exact, 6) AS cos FROM scored "
+        f"WHERE cos_exact >= {threshold}"
+    )
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pygraphblas_spark.sources.tpch_graph import order_part_edges
 
@@ -183,12 +394,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t = triangle_count(co.df)
         return spark.createDataFrame([(t,)], "triangles bigint")
 
-    # ---- iterative algorithms: rows-only checks (non-SQL-expressible) ----
+    # ---- iterative algorithms ----
+    # pagerank / cc / lpa are fully oracle-checked: fixed-iteration
+    # pagerank vs an unrolled SQL recurrence, cc vs a recursive CTE, lpa
+    # vs unrolled sync rounds. Only betweenness remains rows-only
+    # (Brandes' sigma accumulation needs aggregates inside recursion).
 
     def pagerank_q(spark, sf):
+        # fixed 5 iterations (tol=0) — deterministic iteration count so
+        # the unrolled SQL oracle is exact to the rounded precision;
+        # convergence mode is pytest-covered (tests/test_algorithms.py)
         from pygraphblas_spark.algorithms import pagerank
 
-        r = pagerank(_edges(spark, sf), tol=1e-6, max_iters=60)
+        r = pagerank(_edges(spark, sf), damping=0.85, tol=0.0, max_iters=5)
         return r.select("id", F.round("rank", 9).alias("rank"))
 
     def connected_components_q(spark, sf):
@@ -293,28 +511,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def minhash_near_dups(spark, sf):
-        # xxhash64 has no DuckDB twin → rows-only; correctness is covered
-        # by tests/test_pipeline.py recall-vs-exact-Jaccard property
+        # sha256 hash mode → the full LSH pipeline (signatures, banded
+        # buckets, candidate join, exact-Jaccard verify) has an exact
+        # DuckDB twin; doc_id < 300 is a deterministic subset (LIMIT
+        # would not be)
         from pygraphblas_spark.pipeline.dedup import minhash_lsh_candidates
 
-        docs = spark.read.parquet(f"{sf}/documents.parquet").limit(300)
-        return minhash_lsh_candidates(docs, verify_threshold=0.5)
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 300
+        )
+        return minhash_lsh_candidates(
+            docs, verify_threshold=0.5, hash_mode="sha256"
+        )
 
     def embedding_near_dups(spark, sf):
-        # LSH-bucketed cosine near-dup (xxhash hyperplanes → rows-only;
-        # precision/recall covered by tests/test_pipeline.py)
-        from pygraphblas_spark.pipeline.dedup import embedding_near_duplicates
-
+        # sha256 hash mode: Python-precomputed hyperplanes shared with
+        # the DuckDB oracle — buckets and cosines match bit-for-bit.
         # testdata embeddings are near-orthogonal (max pair cos ≈ 0.51 at
         # sf0.01) — 0.35 sits in the top tail so the query returns rows
+        from pygraphblas_spark.pipeline.dedup import embedding_near_duplicates
+
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-        return embedding_near_duplicates(emb, threshold=0.35, planes=4, tables=8)
+        return embedding_near_duplicates(
+            emb, threshold=0.35, planes=4, tables=8, hash_mode="sha256"
+        )
 
     def simhash_sigs(spark, sf):
         from pygraphblas_spark.pipeline.dedup import simhash_signatures
 
-        docs = spark.read.parquet(f"{sf}/documents.parquet").limit(300)
-        return simhash_signatures(docs)
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 300
+        )
+        return simhash_signatures(docs, hash_mode="sha256")
 
     def codegraph_pagerank(spark, sf):
         # full input_hint pipeline: synth source table → edges → pagerank
@@ -473,6 +701,14 @@ def oracle_sql() -> dict[str, str]:
             "         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank "
             "  FROM scored) "
             "SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5"
+        ),
+        "pagerank": _pagerank_oracle(iters=5, damping=0.85),
+        "connected_components": _cc_oracle(),
+        "label_propagation": _lpa_oracle(iters=10),
+        "minhash_near_dups": _minhash_oracle(num_perm=32, bands=8, threshold=0.5),
+        "simhash_sigs": _simhash_oracle(),
+        "embedding_near_dups": _embedding_near_dup_oracle(
+            planes=4, tables=8, threshold=0.35
         ),
         "triangle_count": (
             "WITH co AS ( "

@@ -1,0 +1,99 @@
+"""Local replica of the driver's correctness gate.
+
+Runs each ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB at sf0.01, then compares row count,
+schema (column names sorted), and the full multiset of row values.
+
+Usage: python check_correctness.py [query ...]   (default: all with oracles)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(v):
+    if isinstance(v, float):
+        return round(v, 12)
+    return v
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    wanted = sys.argv[1:] or [k for k in queries if k in oracles]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .appName("check_correctness")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    failures = []
+    for name in wanted:
+        if name not in queries:
+            print(f"{name}: UNKNOWN query")
+            failures.append(name)
+            continue
+        t0 = time.time()
+        sdf = queries[name](spark, SF_DIR)
+        cols = sorted(sdf.columns)
+        srows = [tuple(_canon(r[c]) for c in cols) for r in sdf.collect()]
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"{name}: rows-only ({len(srows)} rows, {t_spark:.1f}s)")
+            continue
+        t0 = time.time()
+        ores = con.sql(oracles[name])
+        ocols_raw = ores.columns
+        odata = ores.fetchall()
+        order = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
+        ocols = [ocols_raw[i] for i in order]
+        orows = [tuple(_canon(r[i]) for i in order) for r in odata]
+        t_duck = time.time() - t0
+        ok_rows = len(srows) == len(orows)
+        ok_schema = cols == ocols
+        ok_vals = sorted(srows, key=repr) == sorted(orows, key=repr)
+        status = "PASS" if (ok_rows and ok_schema and ok_vals) else "FAIL"
+        print(
+            f"{name}: {status} rows={len(srows)}/{len(orows)} "
+            f"schema={'ok' if ok_schema else f'{cols} vs {ocols}'} "
+            f"values={'ok' if ok_vals else 'MISMATCH'} "
+            f"[spark {t_spark:.1f}s, duckdb {t_duck:.1f}s]"
+        )
+        if status == "FAIL":
+            if not ok_vals and ok_rows and ok_schema:
+                sset = sorted(srows, key=repr)
+                oset = sorted(orows, key=repr)
+                diff = [(a, b) for a, b in zip(sset, oset) if a != b][:3]
+                for a, b in diff:
+                    print(f"    spark={a}  oracle={b}")
+            failures.append(name)
+
+    spark.stop()
+    print(f"\n{len(wanted) - len(failures)}/{len(wanted)} pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -30,6 +30,24 @@ def _normalized(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
+def _sha60(col: Column, seed: int) -> Column:
+    """Deterministic 60-bit hash from sha256 — the cross-engine hash mode.
+
+    xxhash64 is JVM-only; sha256 exists in Spark, DuckDB, and every
+    warehouse, so pipelines hashed this way are oracle-checkable
+    anywhere. 15 hex chars = 60 bits keeps the value inside a signed
+    int64 in both engines. The seed is prefixed with an ASCII unit
+    separator so ("1","2x") and ("12","x") cannot collide."""
+    h = F.sha2(F.concat_ws("\x1f", F.lit(str(seed)), col.cast("string")), 256)
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def _elem_hash(col: Column, seed: int, hash_mode: str) -> Column:
+    if hash_mode == "sha256":
+        return _sha60(col, seed)
+    return F.xxhash64(col, F.lit(seed))
+
+
 def _word_shingles(text: Column, n: int) -> Column:
     """Array of word n-gram shingles (distinct)."""
     tokens = F.split(_normalized(text), " ")
@@ -79,18 +97,30 @@ def minhash_signatures(
     text_col: str = "text",
     num_perm: int = 32,
     shingle_n: int = 3,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """(doc_id, sig: array<long>[num_perm]) — sig[j] = min over shingles
-    of xxhash64(shingle, seed=j). One pass, all JVM expressions."""
-    sh = _word_shingles(F.col(text_col), shingle_n)
+    of hash(shingle, seed=j). One pass, all JVM expressions.
+
+    ``hash_mode='sha256'`` swaps xxhash64 for the sha256-derived 60-bit
+    hash (slower, but reproducible in any SQL engine — the DuckDB
+    correctness oracle runs this mode). The shingle array is computed in
+    its own projection so the per-perm min expressions share it rather
+    than re-deriving it ``num_perm`` times."""
+    shingled = df.select(
+        F.col(id_col).alias("doc_id"),
+        _word_shingles(F.col(text_col), shingle_n).alias("__sh"),
+    )
 
     # NB: closure factory, not `lambda s, j=j:` — a default arg makes the
     # lambda binary and PySpark then binds it as the (element, index) form.
     def perm_hash(j):
-        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(j))))
+        return F.array_min(
+            F.transform(F.col("__sh"), lambda s: _elem_hash(s, j, hash_mode))
+        )
 
     sig = F.array(*[perm_hash(j) for j in range(num_perm)])
-    return df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    return shingled.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -101,16 +131,28 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     verify_threshold: float | None = 0.5,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b; when
     ``verify_threshold`` is set, candidates are verified with exact
     shingle Jaccard (computed only for candidates) and filtered.
+    ``hash_mode='sha256'`` makes signatures AND band buckets
+    cross-engine reproducible (DuckDB-oracle-checkable).
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, hash_mode)
+
+    def band_bucket(b):
+        cols = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if hash_mode == "sha256":
+            return _sha60(
+                F.concat_ws(",", *[c.cast("string") for c in cols]), 10000 + b
+            )
+        return F.xxhash64(*cols)
+
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -118,12 +160,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
+                        band_bucket(b).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -170,16 +207,34 @@ def minhash_lsh_candidates(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """(doc_id, simhash: long) — per-bit majority vote of token hashes.
 
-    bit b of simhash = 1 iff Σ_tokens sign(bit b of xxhash64(token)) > 0.
-    Expressed as one aggregate() over the token array per bit — 64 JVM
-    expressions, still one scan, no shuffle.
+    bit b of simhash = 1 iff Σ_tokens sign(bit b of hash(token)) > 0.
+    Expressed as one aggregate() over the token-hash array per bit —
+    ``bits`` JVM expressions, still one scan, no shuffle. The token-hash
+    array is computed once in its own projection and shared by all the
+    bit votes.
+
+    ``hash_mode='sha256'`` uses the 60-bit sha256-derived hash (DuckDB-
+    reproducible); its bits 60-63 are always 0, so signature bits above
+    59 vote unanimously 0 — deterministic in both engines.
     """
     tokens = F.split(_normalized(F.col(text_col)), " ")
-    th = F.transform(tokens, lambda t: F.xxhash64(t))
+    def tok_hash(t):
+        # unseeded xxhash64 preserves the round-1 signature values
+        return _sha60(t, 0) if hash_mode == "sha256" else F.xxhash64(t)
+
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokens, tok_hash).alias("__th"),
+    )
+    th = F.col("__th")
 
     # closure factory (see perm_hash note above); init cast to long so the
     # merge lambda's result type matches the accumulator type
@@ -203,7 +258,7 @@ def simhash_signatures(
             )
         )
     sig = sum(bit_exprs[1:], bit_exprs[0])
-    return df.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
+    return hashed.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_hamming(a: Column, b: Column) -> Column:
@@ -307,6 +362,8 @@ def embedding_near_duplicates(
     tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_mode: str = "xxhash",
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity.
 
@@ -324,34 +381,50 @@ def embedding_near_duplicates(
         lsh_bucket_key,
     )
 
+    if hash_mode == "sha256" and dim is None:
+        # one-row probe for the vector dimension (needed to materialize
+        # the literal hyperplanes)
+        dim = len(emb.select(vec_col).first()[0])
+
     def bucketed(idname):
+        # vectors are consumed by the bucket key and never carried into
+        # the bucket join / candidate distinct — at 100 TB the shuffle
+        # holds (tbl, bucket, id) rows only
         v = F.col(vec_col)
         return emb.select(
             F.col(id_col).alias(idname),
-            F.col(vec_col).alias(f"{idname}_v"),
             F.explode(
                 F.array(
                     *[
                         F.struct(
                             F.lit(t).alias("tbl"),
-                            lsh_bucket_key(v, planes, t).alias("bucket"),
+                            lsh_bucket_key(v, planes, t, hash_mode, dim).alias(
+                                "bucket"
+                            ),
                         )
                         for t in range(tables)
                     ]
                 )
             ).alias("tb"),
-        ).select(idname, f"{idname}_v", "tb.tbl", "tb.bucket")
+        ).select(idname, "tb.tbl", "tb.bucket")
 
     a = bucketed("id_a")
     b = bucketed("id_b")
     cand = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_a_v", "id_b", "id_b_v")
+        .select("id_a", "id_b")
         .distinct()
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.round(cosine_similarity(F.col("id_a_v"), F.col("id_b_v")), 6).alias("cos"),
-    ).filter(F.col("cos") >= threshold)
+    # re-join vectors for the exact verify; threshold on the UNROUNDED
+    # cosine (precision = 1 holds strictly at the boundary), round only
+    # in the projected output column
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_exact", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_exact") >= threshold)
+        .select("id_a", "id_b", F.round("cos_exact", 6).alias("cos"))
+    )

@@ -80,6 +80,36 @@ def cosine_topk_bruteforce(
     )
 
 
+def hyperplane_values(planes: int, table: int, dim: int) -> list[list[float]]:
+    """Deterministic sha256-derived hyperplane entries for one LSH table.
+
+    h[p][d] = (int(sha256("hp-{p}-{table}" <US> "{d}")[:15 hex], 16)
+               % 2001) - 1000 — a pure function of (p, table, d),
+    reproducible in any engine or language (the DuckDB correctness
+    oracle embeds the same values). Used by ``hash_mode='sha256'``."""
+    import hashlib
+
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            hx = hashlib.sha256(f"hp-{p}-{table}\x1f{d}".encode()).hexdigest()
+            row.append(float(int(hx[:15], 16) % 2001 - 1000))
+        out.append(row)
+    return out
+
+
+def _dot_literal(vec: Column, vals: list[float]) -> Column:
+    """<vec, literal plane>: double products, sequential double fold —
+    the exact op order the DuckDB oracle mirrors."""
+    arr = F.array(*[F.lit(v) for v in vals])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def _hyperplane_sign(vec: Column, plane: int, table: int) -> Column:
     """Sign of <vec, h> for a deterministic pseudo-random hyperplane h:
     h[d] = centered xxhash64(d, plane, table) — reproducible on any
@@ -102,11 +132,30 @@ def _hyperplane_sign(vec: Column, plane: int, table: int) -> Column:
     return (proj > 0).cast("int")
 
 
-def lsh_bucket_key(vec: Column, planes: int, table: int) -> Column:
-    """Bucket id for one hash table: the sign bits packed into a long."""
-    bits = [
-        _hyperplane_sign(vec, p, table) * F.lit(1 << p) for p in range(planes)
-    ]
+def lsh_bucket_key(
+    vec: Column,
+    planes: int,
+    table: int,
+    hash_mode: str = "xxhash",
+    dim: int | None = None,
+) -> Column:
+    """Bucket id for one hash table: the sign bits packed into a long.
+
+    ``hash_mode='sha256'`` (requires ``dim``) uses Python-precomputed
+    sha256-derived hyperplane literals instead of in-engine xxhash — the
+    buckets are then reproducible in any SQL engine."""
+    if hash_mode == "sha256":
+        if dim is None:
+            raise ValueError("hash_mode='sha256' requires dim")
+        hv = hyperplane_values(planes, table, dim)
+        bits = [
+            (_dot_literal(vec, hv[p]) > 0).cast("int") * F.lit(1 << p)
+            for p in range(planes)
+        ]
+    else:
+        bits = [
+            _hyperplane_sign(vec, p, table) * F.lit(1 << p) for p in range(planes)
+        ]
     return sum(bits[1:], bits[0]).cast("long")
 
 
@@ -132,7 +181,11 @@ def _sample_centroids(
 def _assign_lists(df: DataFrame, centroids, nprobe: int, idname: str, vec_col: str):
     """(id, vec) → one row per probed centroid list. ``nprobe=1`` for the
     base side (each vector lives in exactly one inverted list). The
-    argmax over C centroids is a single numpy matmul per Arrow batch."""
+    argmax over C centroids is a single numpy matmul per Arrow batch.
+
+    Only (id, list_id) come out — the vector is consumed here and
+    re-joined later for the exact re-rank, so the candidate-pair shuffle
+    and distinct never carry ``array<float>`` payloads."""
     from pyspark.sql.functions import pandas_udf
 
     c_t = centroids.T  # (d, C)
@@ -152,10 +205,45 @@ def _assign_lists(df: DataFrame, centroids, nprobe: int, idname: str, vec_col: s
 
     out = df.select(
         F.col("__id").alias(idname),
-        F.col("__v").alias(f"{idname}_v"),
         F.explode(probe_lists(F.col("__v"))).alias("list_id"),
     )
     return out
+
+
+def _rerank_pairs(
+    cand: DataFrame,
+    base: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Join vectors back onto an id-pair candidate set and re-rank by
+    exact cosine. The distinct upstream ran on bare (query_id,
+    neighbor_id) pairs; vectors ride exactly one join each here. The rank
+    (and the cross-engine oracle) orders by the 6-decimal-rounded cosine
+    with an id tie-break — rounding first makes the tie-break
+    deterministic across engines instead of relying on bit-identical
+    float folds."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    b = base.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("bv")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(b, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("bv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
 
 
 def ivf_topk(
@@ -183,20 +271,10 @@ def ivf_topk(
     cand = (
         ql.join(bl, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            cosine_similarity(F.col("query_id_v"), F.col("neighbor_id_v")), 6
-        ).alias("cos"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return _rerank_pairs(cand, base, queries, k, id_col, vec_col)
 
 
 def lsh_bucketed_topk(
@@ -212,12 +290,13 @@ def lsh_bucketed_topk(
     ``tables`` hash tables; exact cosine re-rank on candidates only.
 
     Same output schema as the bruteforce path (rank may contain <k rows
-    per query when buckets are sparse)."""
+    per query when buckets are sparse). The bucket join and the distinct
+    carry only (tbl, bucket, id) — vectors are consumed computing the
+    bucket key and re-joined for the exact re-rank."""
     def bucketed(df, idname):
         v = F.col(vec_col)
         return df.select(
             F.col(id_col).alias(idname),
-            F.col(vec_col).alias(f"{idname}_v"),
             F.explode(
                 F.array(
                     *[
@@ -229,24 +308,14 @@ def lsh_bucketed_topk(
                     ]
                 )
             ).alias("tb"),
-        ).select(idname, f"{idname}_v", "tb.tbl", "tb.bucket")
+        ).select(idname, "tb.tbl", "tb.bucket")
 
     qb = bucketed(queries, "query_id")
     bb = bucketed(base, "neighbor_id")
     cand = (
         qb.join(bb, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            cosine_similarity(F.col("query_id_v"), F.col("neighbor_id_v")), 6
-        ).alias("cos"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return _rerank_pairs(cand, base, queries, k, id_col, vec_col)
