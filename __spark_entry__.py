@@ -40,11 +40,11 @@ _MR = (
 # ---------------------------------------------------------------------
 
 
-def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
-    """Unrolled fixed-iteration PageRank (matches algorithms/pagerank.py:
+def _pagerank_unroll(iters: int, damping: float) -> str:
+    """CTE chain computing ``iters`` PageRank steps over an already-
+    defined CTE ``e(src, dst)`` (matches algorithms/pagerank.py:
     r' = (1-d)/n + Σ_in r·d/outdeg, GAP dangling semantics)."""
     parts = [
-        f"WITH e AS MATERIALIZED {_E}",
         "mx AS (SELECT MAX(GREATEST(src, dst)) + 1 AS n FROM e)",
         f"d AS (SELECT src, {damping} / COUNT(*) AS w FROM e GROUP BY src)",
         "ew AS MATERIALIZED (SELECT e.src, e.dst, d.w FROM e JOIN d USING (src))",
@@ -59,6 +59,10 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
             f"FROM ew JOIN r{i - 1} p ON ew.src = p.id GROUP BY ew.dst) c ON v.id = c.id)"
         )
     return ", ".join(parts) + f" SELECT id, ROUND(rank, 9) AS rank FROM r{iters}"
+
+
+def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    return f"WITH e AS MATERIALIZED {_E}, " + _pagerank_unroll(iters, damping)
 
 
 def _cc_oracle() -> str:
@@ -113,10 +117,12 @@ def _hex60(expr: str, seed) -> str:
     """DuckDB twin of pipeline/dedup.py ``_sha60``: first 15 hex chars of
     sha256('<seed>' || US || x) as a 60-bit BIGINT."""
     inner = f"sha256('{seed}' || chr(31) || ({expr}))"
+    # NB: lambda vars deliberately obscure — a plain `i` would shadow
+    # any outer column named i referenced inside ``expr``
     return (
         f"list_reduce(list_transform(generate_series(1, 15), "
-        f"i -> CAST(strpos('0123456789abcdef', substr({inner}, i, 1)) - 1 AS BIGINT)), "
-        f"(a, b) -> a * 16 + b)"
+        f"hx_i -> CAST(strpos('0123456789abcdef', substr({inner}, hx_i, 1)) - 1 AS BIGINT)), "
+        f"(hx_a, hx_b) -> hx_a * 16 + hx_b)"
     )
 
 
@@ -187,6 +193,82 @@ def _simhash_oracle(bits: int = 64) -> str:
         "FROM documents WHERE doc_id < 300) "
         f"SELECT doc_id, CAST({votes} AS BIGINT) AS simhash FROM t"
     )
+
+
+def _codegraph_pagerank_oracle(
+    n_files: int = 2000,
+    seed: int = 42,
+    files_per_repo: int = 50,
+    paths_per_commit: int = 13,
+    num_buckets: int = 32,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> str:
+    """Full input_hint pipeline twin: re-derives the synthetic source
+    table from the generative model (sources/codegraph.py
+    ``synthesize_source_table`` in sha256 mode), re-runs the dense-id
+    dictionary (bucket + rank + prefix-sum, ``build_vertices``), import
+    resolution and commit cliques (``extract_*_edges``), then the
+    unrolled PageRank. The Spark side goes content → regex → join; the
+    oracle derives import targets directly from the model, so the whole
+    content round-trip is what's being verified."""
+    n_repos = max(1, n_files // files_per_repo)
+    n_mods = files_per_repo
+
+    def h60(salt):
+        return _hex60("CAST(i AS VARCHAR)", f"{seed}-{salt}")
+
+    imports_rows = " UNION ALL ".join(
+        f"SELECT repo, path, 'mod' || CAST({h60(f't{k}')} % {n_mods} AS VARCHAR) AS target_mod "
+        f"FROM src WHERE {h60('n')} % 5 > {k}"
+        for k in range(4)
+    )
+    return f"""
+WITH src AS MATERIALIZED (
+  SELECT i,
+    'org' || CAST((i % {n_repos}) % 7 AS VARCHAR) || '/repo' || CAST(i % {n_repos} AS VARCHAR) AS repo,
+    'src/' || chr(CAST(97 + (CAST(floor(i / {n_repos}) AS BIGINT) % 5) AS INT)) || '/mod'
+      || CAST(CAST(floor(i / {n_repos}) AS BIGINT) AS VARCHAR) || '.'
+      || (CASE i % 3 WHEN 0 THEN 'py' WHEN 1 THEN 'js' ELSE 'go' END) AS path,
+    substr(sha256('c{seed}' || '-' || CAST(i % {n_repos} AS VARCHAR) || '-'
+      || CAST(CAST(floor(CAST(floor(i / {n_repos}) AS BIGINT) / {paths_per_commit}) AS BIGINT) AS VARCHAR)), 1, 12) AS commit
+  FROM (SELECT unnest(generate_series(0, {n_files - 1})) AS i)
+),
+bkt AS MATERIALIZED (
+  SELECT repo, path,
+    {_hex60("repo || chr(31) || path", "vtx")} % {num_buckets} AS bucket
+  FROM (SELECT DISTINCT repo, path FROM src)
+),
+rn AS (SELECT repo, path, bucket,
+       ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY repo, path) AS rn FROM bkt),
+off AS (SELECT bucket,
+        COALESCE(SUM(cnt) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM (SELECT bucket, COUNT(*) AS cnt FROM bkt GROUP BY bucket)),
+vtx AS MATERIALIZED (
+  SELECT CAST(off.off + rn.rn - 1 AS BIGINT) AS id, rn.repo, rn.path,
+         regexp_extract(rn.path, '/([A-Za-z0-9_]+)\\.[a-z]+$', 1) AS mod
+  FROM rn JOIN off USING (bucket)),
+imp AS ({imports_rows}),
+imp_edges AS (
+  SELECT sv.id AS src, dv.id AS dst
+  FROM imp JOIN vtx sv ON imp.repo = sv.repo AND imp.path = sv.path
+           JOIN vtx dv ON imp.repo = dv.repo AND imp.target_mod = dv.mod
+  WHERE sv.id <> dv.id),
+member AS (
+  SELECT DISTINCT s.commit, v.id FROM src s JOIN vtx v ON s.repo = v.repo AND s.path = v.path),
+capped AS (
+  SELECT commit, id FROM (
+    SELECT commit, id, ROW_NUMBER() OVER (PARTITION BY commit ORDER BY id) AS rk FROM member
+  ) WHERE rk <= 20),
+cpairs AS (
+  SELECT a.id AS src, b.id AS dst FROM capped a JOIN capped b
+  ON a.commit = b.commit WHERE a.id < b.id),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM imp_edges
+    UNION ALL SELECT src, dst FROM cpairs
+    UNION ALL SELECT dst AS src, src AS dst FROM cpairs)),
+""" + _pagerank_unroll(iters, damping)
 
 
 def _embedding_near_dup_oracle(
@@ -545,13 +627,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simhash_signatures(docs, hash_mode="sha256")
 
     def codegraph_pagerank(spark, sf):
-        # full input_hint pipeline: synth source table → edges → pagerank
+        # full input_hint pipeline: synth source table → dense-id
+        # dictionary → import+commit edges → pagerank. sha256 hash mode
+        # + pinned bucket count + fixed iterations make every stage
+        # (including the content → regex → resolve round-trip) exactly
+        # reproducible by the DuckDB generative-model oracle.
         from pygraphblas_spark.algorithms import pagerank
-        from pygraphblas_spark.sources.codegraph import build_edges, synthesize_source_table
+        from pygraphblas_spark.sources.codegraph import (
+            build_edges,
+            build_vertices,
+            synthesize_source_table,
+        )
 
-        src = synthesize_source_table(spark, 2000, seed=42)
-        v, e = build_edges(src)
-        return pagerank(e, max_iters=20).select(
+        src = synthesize_source_table(spark, 2000, seed=42, hash_mode="sha256")
+        v = build_vertices(src, num_buckets=32, hash_mode="sha256")
+        v, e = build_edges(src, vertices=v)
+        return pagerank(e, damping=0.85, tol=0.0, max_iters=5).select(
             "id", F.round("rank", 9).alias("rank")
         )
 
@@ -710,6 +801,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _embedding_near_dup_oracle(
             planes=4, tables=8, threshold=0.35
         ),
+        "codegraph_pagerank": _codegraph_pagerank_oracle(),
         "triangle_count": (
             "WITH co AS ( "
             f"  SELECT a.dst AS u, b.dst AS v FROM {_E} a JOIN {_E} b ON a.src = b.src "

@@ -53,6 +53,7 @@ def synthesize_source_table(
     seed: int = 42,
     paths_per_commit: int = 13,
     files_per_repo: int = 50,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """Deterministic synthetic source-code table (FIXTURES.md §1 schema).
 
@@ -65,6 +66,12 @@ def synthesize_source_table(
     (lang cycling py/js/go) contains 0-4 import lines referencing other
     modules of the same repo; ~``paths_per_commit`` same-repo files share
     each commit id.
+
+    ``hash_mode='sha256'`` derives the per-file randomness (import count
+    and targets, function body constant) from sha256 instead of xxhash64
+    — every column is then reproducible in any SQL engine, which lets
+    the DuckDB oracle re-derive the whole table from the generative
+    model (see __spark_entry__._codegraph_pagerank_oracle).
     """
     i = F.col("id")
     n_repos = max(1, n_files // files_per_repo)
@@ -100,7 +107,12 @@ def synthesize_source_table(
 
     # 0-4 imports: deterministic hash-derived targets within the repo's
     # module namespace
-    h = lambda salt: F.abs(F.xxhash64(i, F.lit(seed), F.lit(salt)))
+    if hash_mode == "sha256":
+        from pygraphblas_spark.pipeline.dedup import _sha60
+
+        h = lambda salt: _sha60(i, f"{seed}-{salt}")
+    else:
+        h = lambda salt: F.abs(F.xxhash64(i, F.lit(seed), F.lit(salt)))
     n_imports = (h("n") % 5).cast("int")
     import_lines = []
     for k in range(4):
@@ -130,7 +142,11 @@ def synthesize_source_table(
     )
 
 
-def build_vertices(source: DataFrame, num_buckets: int | None = None) -> DataFrame:
+def build_vertices(
+    source: DataFrame,
+    num_buckets: int | None = None,
+    hash_mode: str = "xxhash",
+) -> DataFrame:
     """Vertex dictionary: distinct (repo, path) → dense long id.
 
     Distributed dense-id assignment, 100% JVM-side (no RDD/Python row
@@ -141,7 +157,11 @@ def build_vertices(source: DataFrame, num_buckets: int | None = None) -> DataFra
     the same shape scales to 10^12 keys by raising ``num_buckets``.
 
     Ids are dense 0..n-1 and deterministic for a given table (bucket =
-    xxhash64(repo, path), rank = lexicographic within bucket).
+    hash(repo, path), rank = lexicographic within bucket).
+    ``hash_mode='sha256'`` buckets with the sha256-derived 60-bit hash so
+    the id assignment is reproducible in any SQL engine (pin
+    ``num_buckets`` explicitly in that mode — the default follows the
+    session's shuffle-partition setting).
     """
     spark = source.sparkSession
     if num_buckets is None:
@@ -149,10 +169,16 @@ def build_vertices(source: DataFrame, num_buckets: int | None = None) -> DataFra
     from pyspark.sql import Window
 
     distinct = source.select("repo", "path").distinct()
-    b = distinct.withColumn(
-        "bucket",
-        F.pmod(F.xxhash64("repo", "path"), F.lit(num_buckets)).cast("int"),
-    )
+    if hash_mode == "sha256":
+        from pygraphblas_spark.pipeline.dedup import _sha60
+
+        bucket = F.pmod(
+            _sha60(F.concat_ws("\x1f", F.col("repo"), F.col("path")), "vtx"),
+            F.lit(num_buckets),
+        )
+    else:
+        bucket = F.pmod(F.xxhash64("repo", "path"), F.lit(num_buckets))
+    b = distinct.withColumn("bucket", bucket.cast("int"))
     rn = b.withColumn(
         "rn", F.row_number().over(Window.partitionBy("bucket").orderBy("repo", "path"))
     )
