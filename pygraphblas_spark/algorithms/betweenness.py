@@ -1,20 +1,30 @@
-"""Betweenness centrality — batched multi-source Brandes.
+"""Betweenness centrality — batched multi-source Brandes, in waves.
 
 Reference (``gap/bcmark.py:16-67``, ``demo/BetweenessCentrality.ipynb``
 cell 1): a forward phase of frontier pushes with the PLUS_FIRST semiring
 (σ path counts), levels recorded per depth, then a backward dependency
 sweep accumulating δ = Σ_succ (σ_v/σ_w)(1+δ_w). The reference batches 4
-sources into one matrix-valued frontier; we batch ALL requested sources
-as a ``source`` key column — one DataFrame per phase, every join keyed on
+sources into one matrix-valued frontier; we batch a WAVE of sources as a
+``source`` key column — one DataFrame per phase, every join keyed on
 ``(source, vertex)`` so Spark parallelizes across sources AND vertices
 (the same trick, transposed into relational form).
 
-Scale shape: per level one join + one aggregation over the frontier-
-adjacent edges (frontier-sized work, not |E|); levels are cached per
-depth for the backward sweep (they are exactly the per-iteration
-checkpoint states); vertex-dimension partitioning spreads hub skew, the
-``source`` key spreads it further. For web-scale graphs run sampled
-sources (the GAP benchmark itself uses 4-source batches).
+Scale shape:
+
+- **Source waves** (``wave_size``): sources are processed in bounded
+  batches; peak executor state is O(wave_size × levels × frontier) no
+  matter how many sources are requested. Waves are formed by hash
+  (``pmod(xxhash64(source), n_waves)``) — no driver-side source list.
+- **State lifecycle**: each BFS level's sigma frame is released as soon
+  as the backward sweep has consumed it; per-level deltas are released
+  right after the wave's contribution union materializes; each wave's
+  running-total checkpoint supersedes (and releases) the previous one.
+- **Sampled default**: with ``sources=None`` a deterministic
+  ``sample_sources``-vertex sample (smallest xxhash64(id) — the same
+  idiom as similarity._sample_centroids) is used, matching how the GAP
+  benchmark itself runs BC at scale. Pass ``exact=True`` for
+  all-vertices exact BC (cost: |V| BFS traversals — wave batching keeps
+  memory flat but the compute is inherently O(V·E)).
 """
 
 from __future__ import annotations
@@ -24,7 +34,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pygraphblas_spark.plans.checkpoint import iteration_conf
+from pygraphblas_spark.plans.checkpoint import iteration_conf, release_state
 
 
 def betweenness_centrality(
@@ -33,11 +43,15 @@ def betweenness_centrality(
     directed: bool = True,
     normalized: bool = False,
     max_levels: int = 10_000,
+    wave_size: int = 64,
+    sample_sources: int = 64,
+    exact: bool = False,
 ) -> DataFrame:
     """Brandes betweenness over directed edges (src, dst).
 
-    ``sources``: vertex ids to run from (default: every vertex that
-    appears in the graph — exact betweenness; pass a sample for scale).
+    ``sources``: vertex ids to run from. Default (None): a deterministic
+    ``sample_sources``-vertex sample, or every vertex when
+    ``exact=True``. Sources are processed in waves of ``wave_size``.
     Returns (id: long, bc: double) for every vertex appearing in the
     graph; ``normalized`` divides by (n-1)(n-2) (directed convention).
     """
@@ -59,122 +73,179 @@ def betweenness_centrality(
         )
         n = verts.count()
 
-        try:
-            return _bc_passes(
-                spark, e, verts, n, sources, normalized, max_levels
+        if sources is not None:
+            srcs = spark.createDataFrame(
+                [(int(s),) for s in sources], "source long"
             )
+            n_src = len(set(int(s) for s in sources))
+        elif exact:
+            srcs = verts.select(F.col("id").alias("source"))
+            n_src = n
+        else:
+            srcs = (
+                verts.orderBy(F.xxhash64(F.col("id")), F.col("id"))
+                .limit(sample_sources)
+                .select(F.col("id").alias("source"))
+            )
+            n_src = min(sample_sources, n)
+        srcs = srcs.localCheckpoint(eager=True)
+
+        n_waves = max(1, -(-n_src // wave_size))
+        try:
+            bc = None
+            for wv in range(n_waves):
+                wave_srcs = (
+                    srcs
+                    if n_waves == 1
+                    else srcs.filter(
+                        F.pmod(F.xxhash64(F.col("source")), F.lit(n_waves)) == wv
+                    )
+                )
+                part = _bc_wave(spark, e, wave_srcs, max_levels)
+                if part is None:
+                    continue
+                if bc is None:
+                    bc = part
+                else:
+                    prev = bc
+                    bc = (
+                        bc.unionByName(part)
+                        .groupBy("id")
+                        .agg(F.sum("bc").alias("bc"))
+                        .localCheckpoint(eager=True)
+                    )
+                    release_state(prev)
+                    release_state(part)
+            if bc is None:
+                bc = verts.select("id", F.lit(0.0).alias("bc"))
+            bc = verts.join(bc, "id", "left_outer").select(
+                "id", F.coalesce(F.col("bc"), F.lit(0.0)).alias("bc")
+            )
+            if normalized and n > 2:
+                bc = bc.select(
+                    "id", (F.col("bc") / ((n - 1) * (n - 2))).alias("bc")
+                )
+            # materialize before the caller's finally unpersists e/verts —
+            # the returned frame must not depend on the dropped caches
+            return bc.localCheckpoint(eager=True)
         finally:
             e.unpersist()
             verts.unpersist()
 
 
-def _bc_passes(spark, e, verts, n, sources, normalized, max_levels):
-        from pygraphblas_spark.plans.checkpoint import release_state
+def _bc_wave(spark, e, srcs, max_levels):
+    """One wave of batched Brandes: returns (id, bc) partial sums for the
+    wave's sources, or None when the wave is empty. All intermediate
+    checkpoint state (levels, visited, deltas) is released before
+    returning."""
+    # forward: level 0 = the sources themselves, sigma = 1
+    frontier = srcs.select(
+        "source", F.col("source").alias("id"), F.lit(1.0).alias("sigma")
+    ).localCheckpoint(eager=True)
+    if frontier.isEmpty():
+        release_state(frontier)
+        return None
+    visited = frontier.select("source", "id", "sigma", F.lit(0).alias("level"))
+    visited = visited.localCheckpoint(eager=True)
+    levels = [frontier]
 
-        if sources is None:
-            srcs = verts.select(F.col("id").alias("source"))
-        else:
-            srcs = spark.createDataFrame(
-                [(int(s),) for s in sources], "source long"
+    depth = 0
+    while depth < max_levels:
+        depth += 1
+        # push: sigma flows along out-edges (PLUS_FIRST shape:
+        # sum of predecessor sigmas), minus already-settled vertices
+        nxt = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select("source", F.col("dst").alias("id"), "sigma")
+            .groupBy("source", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(
+                visited.select(
+                    F.col("source").alias("vsource"), F.col("id").alias("vid")
+                ),
+                (F.col("source") == F.col("vsource"))
+                & (F.col("id") == F.col("vid")),
+                "left_anti",
             )
-
-        # forward: level 0 = the sources themselves, sigma = 1
-        frontier = srcs.select(
-            "source", F.col("source").alias("id"), F.lit(1.0).alias("sigma")
-        ).localCheckpoint(eager=True)
-        visited = frontier.select("source", "id", "sigma", F.lit(0).alias("level"))
-        visited = visited.localCheckpoint(eager=True)
-        levels = [frontier]
-
-        depth = 0
-        while depth < max_levels:
-            depth += 1
-            # push: sigma flows along out-edges (PLUS_FIRST shape:
-            # sum of predecessor sigmas), minus already-settled vertices
-            nxt = (
-                frontier.join(e, frontier["id"] == e["src"])
-                .select("source", F.col("dst").alias("id"), "sigma")
-                .groupBy("source", "id")
-                .agg(F.sum("sigma").alias("sigma"))
-                .join(
-                    visited.select(
-                        F.col("source").alias("vsource"), F.col("id").alias("vid")
-                    ),
-                    (F.col("source") == F.col("vsource"))
-                    & (F.col("id") == F.col("vid")),
-                    "left_anti",
-                )
-            )
-            nxt = nxt.localCheckpoint(eager=True)
-            if nxt.isEmpty():
-                break
-            levels.append(nxt)
-            prev_visited = visited
-            visited = visited.unionByName(
-                nxt.select("source", "id", "sigma", F.lit(depth).alias("level"))
-            ).localCheckpoint(eager=True)
-            release_state(prev_visited)
-            frontier = nxt
-
-        # backward: delta over levels deepest-first
-        delta = None  # (source, id, delta)
-        bc_parts = []
-        for lvl in range(len(levels) - 1, 0, -1):
-            w = levels[lvl]  # (source, id, sigma) at this depth
-            if delta is not None:
-                w_aug = w.join(delta, ["source", "id"], "left_outer").select(
-                    "source",
-                    "id",
-                    "sigma",
-                    F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
-                )
-            else:
-                w_aug = w.select("source", "id", "sigma", F.lit(0.0).alias("delta"))
-            # contribution to predecessors v (at lvl-1): σ_v/σ_w · (1+δ_w)
-            prev = levels[lvl - 1].select(
-                "source", F.col("id").alias("vid"), F.col("sigma").alias("sigma_v")
-            )
-            contrib = (
-                w_aug.join(e, w_aug["id"] == e["dst"])
-                .select(
-                    "source",
-                    F.col("src").alias("vid"),
-                    F.col("id").alias("wid"),
-                    "sigma",
-                    "delta",
-                )
-                .join(prev, ["source", "vid"])
-                .select(
-                    "source",
-                    F.col("vid").alias("id"),
-                    (
-                        F.col("sigma_v") / F.col("sigma") * (F.lit(1.0) + F.col("delta"))
-                    ).alias("d"),
-                )
-                .groupBy("source", "id")
-                .agg(F.sum("d").alias("delta"))
-            )
-            # NB: superseded deltas are NOT released — bc_parts keeps a
-            # reference to every level's delta until the final union
-            delta = contrib.localCheckpoint(eager=True)
-            # deltas at this (now settled) predecessor level accumulate
-            # into bc for non-source vertices
-            bc_parts.append(
-                delta.filter(F.col("id") != F.col("source")).select("id", "delta")
-            )
-
-        if bc_parts:
-            allc = bc_parts[0]
-            for p in bc_parts[1:]:
-                allc = allc.unionByName(p)
-            bc = allc.groupBy("id").agg(F.sum("delta").alias("bc"))
-        else:
-            bc = verts.select("id", F.lit(0.0).alias("bc"))
-        bc = verts.join(bc, "id", "left_outer").select(
-            "id", F.coalesce(F.col("bc"), F.lit(0.0)).alias("bc")
         )
-        if normalized and n > 2:
-            bc = bc.select("id", (F.col("bc") / ((n - 1) * (n - 2))).alias("bc"))
-        # materialize before the caller's finally unpersists e/verts —
-        # the returned frame must not depend on the dropped caches
-        return bc.localCheckpoint(eager=True)
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            release_state(nxt)
+            break
+        levels.append(nxt)
+        prev_visited = visited
+        visited = visited.unionByName(
+            nxt.select("source", "id", "sigma", F.lit(depth).alias("level"))
+        ).localCheckpoint(eager=True)
+        release_state(prev_visited)
+        frontier = nxt
+    release_state(visited)
+
+    # backward: delta over levels deepest-first. Levels are released as
+    # soon as consumed; deltas after the union materializes.
+    delta = None  # (source, id, delta)
+    bc_parts = []
+    deltas = []
+    for lvl in range(len(levels) - 1, 0, -1):
+        w = levels[lvl]  # (source, id, sigma) at this depth
+        if delta is not None:
+            w_aug = w.join(delta, ["source", "id"], "left_outer").select(
+                "source",
+                "id",
+                "sigma",
+                F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
+            )
+        else:
+            w_aug = w.select("source", "id", "sigma", F.lit(0.0).alias("delta"))
+        # contribution to predecessors v (at lvl-1): σ_v/σ_w · (1+δ_w)
+        prev = levels[lvl - 1].select(
+            "source", F.col("id").alias("vid"), F.col("sigma").alias("sigma_v")
+        )
+        contrib = (
+            w_aug.join(e, w_aug["id"] == e["dst"])
+            .select(
+                "source",
+                F.col("src").alias("vid"),
+                F.col("id").alias("wid"),
+                "sigma",
+                "delta",
+            )
+            .join(prev, ["source", "vid"])
+            .select(
+                "source",
+                F.col("vid").alias("id"),
+                (
+                    F.col("sigma_v") / F.col("sigma") * (F.lit(1.0) + F.col("delta"))
+                ).alias("d"),
+            )
+            .groupBy("source", "id")
+            .agg(F.sum("d").alias("delta"))
+        )
+        delta = contrib.localCheckpoint(eager=True)
+        deltas.append(delta)
+        # this level's sigma frame is fully consumed now (it was w at
+        # this step and prev at the previous one)
+        release_state(levels[lvl])
+        # deltas at this (now settled) predecessor level accumulate
+        # into bc for non-source vertices
+        bc_parts.append(
+            delta.filter(F.col("id") != F.col("source")).select("id", "delta")
+        )
+    release_state(levels[0])
+
+    if not bc_parts:
+        for d in deltas:
+            release_state(d)
+        return None
+    allc = bc_parts[0]
+    for p in bc_parts[1:]:
+        allc = allc.unionByName(p)
+    bc = (
+        allc.groupBy("id")
+        .agg(F.sum("delta").alias("bc"))
+        .localCheckpoint(eager=True)
+    )
+    # union materialized → the per-level deltas can go
+    for d in deltas:
+        release_state(d)
+    return bc

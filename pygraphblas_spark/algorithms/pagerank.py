@@ -102,7 +102,7 @@ def pagerank(
         kn = n
         if kn is None and strategy == "auto":
             mx = edges.agg(F.max("src"), F.max("dst")).first()
-            kn = int(max(mx[0], mx[1])) + 1
+            kn = int(max(mx[0], mx[1])) + 1 if mx[0] is not None else 0
         if strategy == "kernel" or kn <= DENSE_KERNEL_MAX_ROWS:
             return pagerank_dense_kernel(
                 edges,

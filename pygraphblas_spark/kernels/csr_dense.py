@@ -72,6 +72,10 @@ def _build_blocks(e: DataFrame, narrow: bool):
             return
         src = np.ascontiguousarray(np.concatenate(srcs), dtype=idt)
         dst = np.concatenate(dsts)  # sorted within the partition
+        if len(dst) == 0:
+            # all delivered batches were zero-row: np.r_[True, ...] would
+            # fabricate starts=[0] and dst[starts] would IndexError
+            return
         starts = np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]]).astype("int64")
         uniq = dst[starts].astype("int64")
         yield pa.RecordBatch.from_arrays(

@@ -673,20 +673,52 @@ class Matrix:
         )
         return Vector(df, self.nrows, "INT64")
 
-    def gini(self) -> float:
-        """Degree-distribution Gini coefficient (reference matrix.py:3560).
-        Distributed rank computation; only two scalar aggregates hit the
-        driver."""
+    def _ranked_degrees(self, num_buckets: int = 32):
+        """Degree table with a DISTRIBUTED dense global rank ``i`` (1..n,
+        ascending degree): range-partition into ``num_buckets`` ordered
+        buckets, row_number within each bucket, offset by the exclusive
+        prefix-sum of bucket counts (a window over only ``num_buckets``
+        rows — same pattern as sources/codegraph.py build_vertices). No
+        single-partition pass over the degree table; ties get an
+        arbitrary but contiguous rank block, so Σ i·d is invariant.
+
+        Returns (ranked_df, persisted_df): caller must unpersist the
+        second (the range boundaries are sampled, so the bucketed frame
+        is persisted to keep rank and counts consistent)."""
         from pyspark.sql import Window
 
-        deg = self.df.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
-        w = Window.orderBy("d")
-        ranked = deg.withColumn("i", F.row_number().over(w))
-        n, s, si = (
-            ranked.agg(
+        deg = self.df.groupBy("src").agg(
+            F.count(F.lit(1)).cast("double").alias("d")
+        )
+        part = (
+            deg.repartitionByRange(num_buckets, "d")
+            .withColumn("part", F.spark_partition_id())
+            .persist()
+        )
+        wp = Window.partitionBy("part").orderBy("d")
+        counts = part.groupBy("part").agg(F.count(F.lit(1)).alias("cnt"))
+        prefix = Window.orderBy("part").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.select(
+            "part", F.coalesce(F.sum("cnt").over(prefix), F.lit(0)).alias("off")
+        )
+        ranked = (
+            part.withColumn("rn", F.row_number().over(wp))
+            .join(F.broadcast(offsets), "part")
+            .select("d", (F.col("off") + F.col("rn")).alias("i"))
+        )
+        return ranked, part
+
+    def gini(self, num_buckets: int = 32) -> float:
+        """Degree-distribution Gini coefficient (reference matrix.py:3560).
+        Distributed rank (no global-window single-task sort — see
+        ``_ranked_degrees``); only one scalar aggregate hits the driver."""
+        ranked, part = self._ranked_degrees(num_buckets)
+        try:
+            n, s, si = ranked.agg(
                 F.count("d"), F.sum("d"), F.sum(F.col("i") * F.col("d"))
             ).first()
-        )
+        finally:
+            part.unpersist()
         return float((2.0 * si) / (n * s) - (n + 1.0) / n)
 
     # ------------------------------------------------------------------

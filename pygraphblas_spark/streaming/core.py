@@ -18,7 +18,6 @@ available input then stops — so results are deterministic.
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -165,8 +164,14 @@ def incremental_graph_maintenance(
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         new = batch.select("src", "dst", "val").dropDuplicates(["src", "dst"])
-        if os.path.exists(table_path):
-            existing = batch.sparkSession.read.parquet(table_path)
+        # existence via the Hadoop FileSystem API — works on any
+        # supported store (s3a/gs/abfs/hdfs/file), unlike os.path
+        sess = batch.sparkSession
+        jvm = sess._jvm
+        hconf = sess._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(table_path)
+        if p.getFileSystem(hconf).exists(p):
+            existing = sess.read.parquet(table_path)
             new = new.join(
                 existing.select("src", "dst"), ["src", "dst"], "left_anti"
             )

@@ -388,9 +388,21 @@ class Vector:
             merged = target.unionByName(old_rest)
         return Vector(merged, self.size, self.typ)
 
-    def assign(self, other: "Vector", accum=None) -> "Vector":
-        """Vector upsert (reference vector.py:1454)."""
+    def assign(
+        self,
+        other: "Vector",
+        accum=None,
+        mask: Optional["Vector"] = None,
+        desc: Descriptor = NULL,
+    ) -> "Vector":
+        """Vector upsert (reference vector.py:1454). With ``mask``, only
+        positions where the mask is truthy receive ``other``'s values
+        (GrB_assign no-replace semantics: unmasked and other-absent
+        positions keep their old entries)."""
         src = other.df.select("id", F.col(VAL).cast(gbtypes.spark_type(self.typ)))
+        if mask is not None:
+            m = core._truthy_mask(mask.df, desc.mask_structural).select("id")
+            src = src.join(m, "id", "left_semi")
         if accum is not None:
             merged = core.ewise_add(self.df, src, KEYS, _coerce_binop(accum))
         else:
@@ -425,13 +437,20 @@ class Vector:
         v[:]=x / v[a:b]=x (scalar fill), v[mask]=x, v[:]=Vector. The
         facade rebinds ``self.df`` (DataFrames are immutable)."""
         if isinstance(index, Vector):
-            out = self.assign_scalar(value, mask=index)
-        elif isinstance(index, int):
+            # masked assign: v[m] = scalar OR v[m] = Vector (reference
+            # vector.py:1430 dispatches on the value type)
             out = (
-                self.set_element(index, value)
-                if not isinstance(value, Vector)
-                else self.assign(value)
+                self.assign(value, mask=index)
+                if isinstance(value, Vector)
+                else self.assign_scalar(value, mask=index)
             )
+        elif isinstance(index, int):
+            if isinstance(value, Vector):
+                raise TypeError(
+                    "cannot assign a Vector to a single element; use "
+                    "v[:] = u or v[mask] = u (reference vector.py raises here)"
+                )
+            out = self.set_element(index, value)
         elif isinstance(index, slice):
             if isinstance(value, Vector):
                 out = self.assign(value)

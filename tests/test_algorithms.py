@@ -202,3 +202,21 @@ def test_betweenness_sampled_sources(spark):
                 expect[(s + step) % n] += 1.0
     for v in range(n):
         assert got.get(v, 0.0) == pytest.approx(expect[v], abs=1e-9), v
+
+
+def test_betweenness_waves_match_single_batch(spark):
+    """Source waves (wave_size < n_sources) produce exactly the same BC
+    as one batch — and exact=True covers all vertices."""
+    from pygraphblas_spark.algorithms import betweenness_centrality
+    from tests.oracles import betweenness_oracle
+
+    I = [0, 0, 1, 1, 2, 3, 3, 4, 5, 6, 6, 6]
+    J = [1, 3, 4, 6, 5, 0, 2, 5, 2, 2, 3, 4]
+    e = spark.createDataFrame(list(zip(I, J)), "src long, dst long")
+    want = betweenness_oracle(I, J, 7, directed=True)
+    got = {
+        r["id"]: r["bc"]
+        for r in betweenness_centrality(e, exact=True, wave_size=2).collect()
+    }
+    for v in range(7):
+        assert got.get(v, 0.0) == pytest.approx(want[v], abs=1e-9), v

@@ -337,3 +337,41 @@ def test_setitem_delitem_sugar(spark):
     mask = Matrix.from_lists(spark, [0], [1], True, 3, 3)
     m[mask] = 0.5
     assert m.to_dict()[(0, 1)] == 0.5
+
+
+# ---- gini (reference matrix.py:3560) ----
+
+
+def test_gini_matches_numpy_and_is_distributed(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    # skewed out-degrees: vertex k has k+1 out-edges (k = 0..19)
+    I, J = [], []
+    for k in range(20):
+        for j in range(k + 1):
+            I.append(k)
+            J.append(100 + j)
+    m = Matrix.from_lists(spark, I, J, True, 200, 200)
+
+    deg = np.sort(np.array([k + 1 for k in range(20)], dtype="float64"))
+    n = len(deg)
+    i = np.arange(1, n + 1)
+    expected = float((2.0 * (i * deg).sum()) / (n * deg.sum()) - (n + 1.0) / n)
+    assert abs(m.gini() - expected) < 1e-12
+    assert abs(m.gini(num_buckets=3) - expected) < 1e-12
+
+    # scale assertion: the rank must NOT funnel the degree table through
+    # a single-partition window — the row_number window is partitioned
+    # (range buckets) and only the num_buckets-row prefix-sum is global
+    ranked, part = m._ranked_degrees(8)
+    try:
+        plan = ranked._jdf.queryExecution().executedPlan().toString()
+    finally:
+        part.unpersist()
+    import re
+
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "windowspecdefinition(part" in line, line
+    assert "rangepartitioning" in plan
