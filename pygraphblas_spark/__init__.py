@@ -23,6 +23,7 @@ cannot express the semantics (custom monoids, CSR SpMV fast path).
 
 from pygraphblas_spark.session import get_spark
 from pygraphblas_spark.algebra import (
+    Accum,
     BinaryOp,
     Monoid,
     Semiring,
@@ -39,6 +40,7 @@ from pygraphblas_spark.descriptor import Descriptor, T0, T1, C, S, R, RC, RS, RS
 
 __all__ = [
     "get_spark",
+    "Accum",
     "Matrix",
     "Vector",
     "Scalar",

@@ -33,6 +33,9 @@ current_semiring: contextvars.ContextVar = contextvars.ContextVar(
 current_accum: contextvars.ContextVar = contextvars.ContextVar(
     "current_accum", default=None
 )
+current_binop: contextvars.ContextVar = contextvars.ContextVar(
+    "current_binop", default=None
+)
 
 
 # --------------------------------------------------------------------------
@@ -113,7 +116,6 @@ unary_op("CEIL", F.ceil)
 unary_op("FLOOR", F.floor)
 unary_op("ROUND", F.round)
 unary_op("TRUNC", lambda c: c.cast("long").cast("double"))
-unary_op("LGAMMA", lambda c: F.expr(f"ln(abs(gamma({'__c__'})))"))  # placeholder; see below
 unary_op("ISINF", lambda c: c == F.lit(float("inf")))
 unary_op("ISNAN", F.isnan)
 unary_op("ISFINITE", lambda c: ~(F.isnan(c) | (F.abs(c) == F.lit(float("inf")))))
@@ -122,27 +124,76 @@ unary_op("POSITIONI1", lambda v, s, d: s + 1, positional=True)
 unary_op("POSITIONJ", lambda v, s, d: d, positional=True)
 unary_op("POSITIONJ1", lambda v, s, d: d + 1, positional=True)
 
-# LGAMMA needs the column inline; replace placeholder with a proper builder.
-_UNARY["LGAMMA"] = UnaryOp(
-    "LGAMMA", lambda c: F.log(F.abs(F.expr("exp(1)")))  # overwritten just below
-)
+# Special functions (reference unaryop.py:55-62 LGAMMA/TGAMMA/ERF/ERFC):
+# no Spark builtin → Arrow-batched pandas kernel (scipy.special when
+# available — vectorized C — else stdlib math per element). These are the
+# one sanctioned slow path in the op inventory; everything else is
+# whole-stage codegen.
+def _pandas_unary_factory(name: str):
+    def build(c: Column) -> Column:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        try:
+            from scipy import special as sp
+
+            fn = {
+                "LGAMMA": sp.gammaln,
+                "TGAMMA": sp.gamma,
+                "ERF": sp.erf,
+                "ERFC": sp.erfc,
+            }[name]
+
+            def kernel(s):
+                return pd.Series(fn(s.astype("float64").to_numpy()))
+
+        except ImportError:  # no scipy in this container: stdlib math path
+            import math
+
+            fn = {
+                "LGAMMA": math.lgamma,
+                "TGAMMA": math.gamma,
+                "ERF": math.erf,
+                "ERFC": math.erfc,
+            }[name]
+
+            def kernel(s):
+                return s.astype("float64").map(fn)
+
+        # real annotation objects (not strings): this module's postponed
+        # annotations would otherwise reach pandas_udf as unresolvable
+        # 'pd.Series' literals (pd is function-local here)
+        kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return pandas_udf(kernel, "double")(c.cast("double"))
+
+    return build
 
 
-def _lgamma(c: Column) -> Column:
-    # Spark has no lgamma builtin; Stirling-free exact route: use java
-    # log-gamma via expr on double — not available either, so compute via
-    # log(abs(gamma)) is unavailable. Keep LGAMMA as a numpy-backed Arrow
-    # path: raise here to signal callers to use the pandas kernel.
-    raise NotImplementedError(
-        "LGAMMA/TGAMMA/ERF/ERFC have no Spark builtin; use "
-        "pygraphblas_spark.kernels.apply_pandas with numpy/scipy."
+for _name in ("LGAMMA", "TGAMMA", "ERF", "ERFC"):
+    unary_op(_name, _pandas_unary_factory(_name))
+
+
+# frexp decomposition (reference unaryop.py FREXPX/FREXPE): x = m·2^e with
+# 0.5 <= |m| < 1. log2-derived exponent with a one-step fixup for values
+# where float log2 rounds across a power-of-two boundary.
+def _frexp_e(c: Column) -> Column:
+    e0 = (F.floor(F.log2(F.abs(c))) + 1).cast("int")
+    m0 = c / F.pow(F.lit(2.0), e0)
+    return (
+        F.when(c == 0, F.lit(0))
+        .when(F.abs(m0) >= 1, e0 + 1)
+        .when(F.abs(m0) < 0.5, e0 - 1)
+        .otherwise(e0)
     )
 
 
-_UNARY["LGAMMA"] = UnaryOp("LGAMMA", _lgamma)
-_UNARY["TGAMMA"] = UnaryOp("TGAMMA", _lgamma)
-_UNARY["ERF"] = UnaryOp("ERF", _lgamma)
-_UNARY["ERFC"] = UnaryOp("ERFC", _lgamma)
+unary_op("FREXPE", lambda c: _frexp_e(c).cast("double"))
+unary_op(
+    "FREXPX",
+    lambda c: F.when(c == 0, F.lit(0.0)).otherwise(
+        c / F.pow(F.lit(2.0), _frexp_e(c))
+    ),
+)
 
 
 # --------------------------------------------------------------------------
@@ -166,6 +217,37 @@ class BinaryOp:
         if self.positional:
             return self.fn(a, b, *pos)
         return self.fn(a, b)
+
+    def __enter__(self) -> "BinaryOp":
+        # `with binary_op("MIN"): A + B` makes MIN the default combiner
+        # for operator sugar (reference binaryop.py:52-58 + the
+        # current_binop.get(...) dispatch in matrix.py:1626-1711)
+        object.__setattr__(self, "_cv_token", current_binop.set(self))
+        return self
+
+    def __exit__(self, *exc) -> None:
+        current_binop.reset(object.__getattribute__(self, "_cv_token"))
+
+
+class Accum:
+    """Scoped accumulator (reference binaryop.py:80-101): inside
+    ``with Accum(binary_op("PLUS")):`` any operation whose ``accum`` arg
+    is unspecified merges into its output with the given op (consulted
+    by operators.core.finalize)."""
+
+    __slots__ = ("binaryop", "_token")
+
+    def __init__(self, binaryop: "BinaryOp | str"):
+        self.binaryop = (
+            binary_op(binaryop) if isinstance(binaryop, str) else binaryop
+        )
+
+    def __enter__(self) -> "Accum":
+        self._token = current_accum.set(self.binaryop)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        current_accum.reset(self._token)
 
 
 _BINARY: dict[str, BinaryOp] = {}
@@ -207,10 +289,48 @@ binary_op("ISLE", lambda a, b: (a <= b).cast("int"))
 binary_op("LOR", lambda a, b: a.cast("boolean") | b.cast("boolean"))
 binary_op("LAND", lambda a, b: a.cast("boolean") & b.cast("boolean"))
 binary_op("LXOR", lambda a, b: a.cast("boolean") != b.cast("boolean"))
-binary_op("BOR", lambda a, b: F.expr("a | b") if False else a.bitwiseOR(b))
+binary_op("BOR", lambda a, b: a.bitwiseOR(b))
 binary_op("BAND", lambda a, b: a.bitwiseAND(b))
 binary_op("BXOR", lambda a, b: a.bitwiseXOR(b))
-binary_op("BXNOR", lambda a, b: ~(a.bitwiseXOR(b)))
+binary_op("BXNOR", lambda a, b: F.bitwise_not(a.bitwiseXOR(b)))
+
+
+# bit-field ops (reference binaryop.py:104-110 BGET/BSET/BCLR/BSHIFT,
+# SuiteSparse bitget/bitset/bitclr/bitshift semantics: 1-based bit
+# position k; out-of-range k → 0 for BGET, x unchanged for BSET/BCLR;
+# BSHIFT shifts left for positive k, arithmetic-right for negative).
+def _shl(a: Column, k: Column) -> Column:
+    return F.call_function("shiftleft", a, k.cast("int"))
+
+
+def _shr(a: Column, k: Column) -> Column:
+    return F.call_function("shiftright", a, k.cast("int"))
+
+
+_ONE_L = lambda: F.lit(1).cast("long")  # noqa: E731
+
+binary_op(
+    "BGET",
+    lambda a, b: F.when(
+        (b >= 1) & (b <= 64), _shr(a, b - 1).bitwiseAND(_ONE_L())
+    ).otherwise(F.lit(0).cast("long")),
+)
+binary_op(
+    "BSET",
+    lambda a, b: F.when(
+        (b >= 1) & (b <= 64), a.bitwiseOR(_shl(_ONE_L(), b - 1))
+    ).otherwise(a),
+)
+binary_op(
+    "BCLR",
+    lambda a, b: F.when(
+        (b >= 1) & (b <= 64), a.bitwiseAND(F.bitwise_not(_shl(_ONE_L(), b - 1)))
+    ).otherwise(a),
+)
+binary_op(
+    "BSHIFT",
+    lambda a, b: F.when(b >= 0, _shl(a, b)).otherwise(_shr(a, -b)),
+)
 binary_op("ATAN2", F.atan2)
 binary_op("HYPOT", F.hypot)
 binary_op("FMOD", lambda a, b: a % b)

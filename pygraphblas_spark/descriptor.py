@@ -17,7 +17,14 @@ whether unmasked rows of the old output are unioned back in.
 
 from __future__ import annotations
 
+import contextvars
 from dataclasses import dataclass
+
+# `with T0: A.mxm(B)` applies the descriptor without passing it —
+# mirrors the reference's current_desc (descriptor.py:7,70-74).
+current_desc: contextvars.ContextVar = contextvars.ContextVar(
+    "current_desc", default=None
+)
 
 
 @dataclass(frozen=True)
@@ -37,6 +44,22 @@ class Descriptor:
             self.mask_structural or other.mask_structural,
             self.replace or other.replace,
         )
+
+    def __enter__(self) -> "Descriptor":
+        object.__setattr__(self, "_cv_token", current_desc.set(self))
+        return self
+
+    def __exit__(self, *exc) -> None:
+        current_desc.reset(object.__getattribute__(self, "_cv_token"))
+
+
+def resolve(desc: "Descriptor | None") -> "Descriptor":
+    """Contextvar fallback (reference _get_args, matrix.py:2393-2397):
+    an unspecified descriptor (None or the NULL singleton) resolves to
+    the active ``with <desc>:`` scope, else NULL."""
+    if desc is None or desc is NULL:
+        return current_desc.get() or NULL
+    return desc
 
 
 NULL = Descriptor()

@@ -30,7 +30,7 @@ from pygraphblas_spark.algebra import (
     monoid,
     semiring,
 )
-from pygraphblas_spark.descriptor import Descriptor, NULL
+from pygraphblas_spark.descriptor import Descriptor, NULL, resolve
 from pygraphblas_spark.operators import contraction, core
 
 VAL = core.VAL
@@ -47,6 +47,17 @@ def _coerce_monoid(m) -> Monoid:
 
 def _coerce_semiring(s) -> Semiring:
     return semiring(s) if isinstance(s, str) else s
+
+
+def _promote_inputs(a, b):
+    """Mixed-type contraction inputs are cast to the promoted type before
+    the join (reference types.promote, types.py:484-500) — e.g. a BOOL
+    pattern matrix times an FP64 vector multiplies as FP64."""
+    ptyp = gbtypes.promote(a.typ, b.typ)
+    st = gbtypes.spark_type(ptyp)
+    a_df = a.df if a.typ == ptyp else a.df.withColumn(VAL, F.col(VAL).cast(st))
+    b_df = b.df if b.typ == ptyp else b.df.withColumn(VAL, F.col(VAL).cast(st))
+    return a_df, b_df
 
 
 class Matrix:
@@ -334,6 +345,7 @@ class Matrix:
 
     def transpose(self, desc: Descriptor = NULL) -> "Matrix":
         """Column swap — zero-cost relabel (reference matrix.py:1003)."""
+        desc = resolve(desc)
         if desc.transpose0:
             # transposing the transpose: identity (reference cast trick)
             return self.dup()
@@ -401,6 +413,7 @@ class Matrix:
         desc: Descriptor = NULL,
     ) -> "Matrix":
         """Set-union element-wise op (reference matrix.py:1103)."""
+        desc = resolve(desc)
         a, b = self.df, other.df
         if desc.transpose0:
             a = contraction._oriented(a, True)
@@ -423,6 +436,7 @@ class Matrix:
         desc: Descriptor = NULL,
     ) -> "Matrix":
         """Set-intersection element-wise op (reference matrix.py:1266)."""
+        desc = resolve(desc)
         a, b = self.df, other.df
         if desc.transpose0:
             a = contraction._oriented(a, True)
@@ -450,10 +464,12 @@ class Matrix:
         desc: Descriptor = NULL,
     ) -> "Matrix":
         """Semiring matrix multiply (reference matrix.py:2401)."""
+        desc = resolve(desc)
         sr = self._default_semiring(other, semiring)
+        a_df, b_df = _promote_inputs(self, other)
         new = contraction.mxm(
-            self.df,
-            other.df,
+            a_df,
+            b_df,
             sr,
             mask=mask.df if mask is not None else None,
             accum=_coerce_binop(accum) if accum else None,
@@ -478,10 +494,12 @@ class Matrix:
         """SpMV (reference matrix.py:2586); PageRank's inner step."""
         from pygraphblas_spark.vector import Vector
 
+        desc = resolve(desc)
         sr = self._default_semiring(vector, semiring)
+        a_df, v_df = _promote_inputs(self, vector)
         new = contraction.mxv(
-            self.df,
-            vector.df,
+            a_df,
+            v_df,
             sr,
             mask=mask.df if mask is not None else None,
             accum=_coerce_binop(accum) if accum else None,
@@ -649,6 +667,7 @@ class Matrix:
         for PageRank (gap/prmark.py:54)."""
         from pygraphblas_spark.vector import Vector
 
+        desc = resolve(desc)
         mon = _coerce_monoid(mon)
         key = "dst" if desc.transpose0 else "src"
         new = self.df.groupBy(F.col(key).alias("id")).agg(mon(F.col(VAL)).alias(VAL))
@@ -1001,8 +1020,23 @@ class Matrix:
 
     __hash__ = object.__hash__  # __eq__ is element-wise, not identity
 
+    def all(self, other: "Matrix", op) -> bool:
+        """Do all stored elements compare True with ``op``? (reference
+        matrix.py:1417-1433: shape, nvals, pattern must match and every
+        emult-compared value hold.)"""
+        if self.shape != other.shape:
+            return False
+        if self.nvals != other.nvals:
+            return False
+        c = self.emult(other, _coerce_binop(op))
+        if c.nvals != self.nvals:
+            return False
+        return c.df.filter(~F.col(VAL).cast("boolean")).limit(1).count() == 0
+
     def iseq(self, other: "Matrix") -> bool:
-        """Shape + pattern + values equality (reference matrix.py:1436)."""
+        """Shape + pattern + values equality (reference matrix.py:1436;
+        there expressed as ``all(other, EQ)`` — here a single NaN-safe
+        full-outer pass)."""
         if self.shape != other.shape:
             return False
         return core.coo_equal(self.df, other.df, EDGE_SCHEMA_KEYS)
@@ -1010,24 +1044,89 @@ class Matrix:
     def isne(self, other: "Matrix") -> bool:
         return not self.iseq(other)
 
-    # operator sugar (reference matrix.py:64-90, 1625-1711)
+    def get(self, i: int, j: int, default=None):
+        """Element or ``default`` when absent (reference matrix.py:3330)."""
+        v = self.extract_element(i, j)
+        return default if v is None else v
+
+    def __contains__(self, index) -> bool:
+        """(i, j) membership (reference matrix.py:3323)."""
+        i, j = index
+        return self.extract_element(i, j) is not None
+
+    # operator sugar (reference matrix.py:64-90, 1625-1711). The default
+    # combiner is overridable via `with binary_op(...)` scope, exactly
+    # like the reference's current_binop.get(<type default>).
     def __add__(self, other):
         return self._scalar_or_ewise(other, "PLUS", ewise="eadd")
+
+    def __radd__(self, other):
+        # scalar + A (reference matrix.py:1648-1652)
+        return self.apply_first(other, self._sugar_op("PLUS"))
+
+    def __iadd__(self, other):
+        return self._inplace(self._scalar_or_ewise(other, "PLUS", ewise="eadd"))
 
     def __sub__(self, other):
         return self._scalar_or_ewise(other, "MINUS", ewise="eadd")
 
+    def __rsub__(self, other):
+        return self.apply_first(other, self._sugar_op("MINUS"))
+
+    def __isub__(self, other):
+        return self._inplace(self._scalar_or_ewise(other, "MINUS", ewise="eadd"))
+
     def __mul__(self, other):
         return self._scalar_or_ewise(other, "TIMES", ewise="emult")
+
+    def __rmul__(self, other):
+        return self.apply_first(other, self._sugar_op("TIMES"))
+
+    def __imul__(self, other):
+        return self._inplace(self._scalar_or_ewise(other, "TIMES", ewise="emult"))
 
     def __truediv__(self, other):
         return self._scalar_or_ewise(other, "DIV", ewise="emult")
 
+    def __rtruediv__(self, other):
+        return self.apply_first(other, self._sugar_op("DIV"))
+
+    def __itruediv__(self, other):
+        return self._inplace(self._scalar_or_ewise(other, "DIV", ewise="emult"))
+
     def __or__(self, other):
-        return self.eadd(other, "SECOND")
+        return self.eadd(other, self._sugar_op("SECOND"))
+
+    def __ior__(self, other):
+        return self._inplace(self.eadd(other, self._sugar_op("SECOND")))
 
     def __and__(self, other):
-        return self.emult(other, "SECOND")
+        return self.emult(other, self._sugar_op("SECOND"))
+
+    def __iand__(self, other):
+        return self._inplace(self.emult(other, self._sugar_op("SECOND")))
+
+    def __imatmul__(self, other):
+        # A @= B (reference matrix.py:68: in-place mxm)
+        return self._inplace(self.__matmul__(other))
+
+    @staticmethod
+    def _sugar_op(default: str):
+        from pygraphblas_spark.algebra import current_binop
+
+        return current_binop.get() or default
+
+    def _inplace(self, result: "Matrix") -> "Matrix":
+        """In-place operator facade: the reference mutates via out=self
+        (matrix.py:1625-1711); DataFrames are immutable so the facade
+        rebinds this object's frame/type and returns self. NB: the
+        reference's __isub__/__imul__/__itruediv__ flip operand order
+        (`other.eadd(self, ...)`) — an upstream quirk its own tests never
+        exercise; we keep self-first order, consistent with the
+        non-inplace forms."""
+        self.df, self.typ = result.df, result.typ
+        self.nrows, self.ncols = result.nrows, result.ncols
+        return self
 
     def __invert__(self):
         # Reference ~M is logical-not on BOOL, multiplicative inverse 1/x
@@ -1044,9 +1143,10 @@ class Matrix:
     __abs__ = abs
 
     def _scalar_or_ewise(self, other, opname, ewise):
+        op = self._sugar_op(opname)
         if isinstance(other, Matrix):
-            return getattr(self, ewise)(other, opname)
-        return self.apply_second(opname, other)
+            return getattr(self, ewise)(other, op)
+        return self.apply_second(op, other)
 
     # ------------------------------------------------------------------
     # Sinks (reference matrix.py:944-1492, 3355-3536)
@@ -1073,6 +1173,27 @@ class Matrix:
 
         i, j, v = self.to_arrays()
         return sp.coo_matrix((v, (i, j)), shape=self.shape)
+
+    @classmethod
+    def from_scipy_sparse(
+        cls, spark: SparkSession, m, typ: Optional[str] = None
+    ) -> "Matrix":
+        """Round-trip twin of ``to_scipy_sparse`` (reference
+        matrix.py:3495); type inferred from the dtype kind."""
+        ss = m.tocoo()
+        nrows, ncols = ss.shape
+        if typ is None:
+            kind = ss.data.dtype.kind
+            typ = "BOOL" if kind == "b" else ("INT64" if kind in "iu" else "FP64")
+        return cls.from_lists(
+            spark,
+            [int(x) for x in ss.row],
+            [int(x) for x in ss.col],
+            [x.item() for x in ss.data],
+            nrows,
+            ncols,
+            typ,
+        )
 
     def to_numpy(self):
         import numpy as np

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pygraphblas_spark.algebra import BinaryOp, Semiring
-from pygraphblas_spark.descriptor import Descriptor, NULL
+from pygraphblas_spark.descriptor import Descriptor, NULL, resolve
 from pygraphblas_spark.operators.core import VAL, _truthy_mask, finalize
 
 
@@ -52,6 +52,7 @@ def mxm(
     mask_pushdown: bool = True,
 ) -> DataFrame:
     """C⟨mask⟩ ⊕= A ⊗.⊕ B over COO edge frames (src, dst, val)."""
+    desc = resolve(desc)
     a = _oriented(a, desc.transpose0)
     b = _oriented(b, desc.transpose1)
 
@@ -111,6 +112,7 @@ def mxv(
     edge frame pre-partitioned on the join key (see algorithms/), the big
     side does not re-shuffle across iterations.
     """
+    desc = resolve(desc)
     a = _oriented(a, desc.transpose0)
     an = a.select(
         F.col("src").alias("__i"), F.col("dst").alias("__k"), F.col(VAL).alias("__a")
@@ -147,6 +149,7 @@ def vxm(
     v supplies the FIRST operand, A the SECOND. The T1 descriptor flag
     transposes A (A is input 1 of vxm)."""
     # v ⊗ A == (Aᵀ ⊗-swapped v); reuse mxv with operand-swapped semiring.
+    desc = resolve(desc)
     swapped = Semiring(
         semiring.name + "_SWAP",
         semiring.add,

@@ -23,8 +23,8 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pygraphblas_spark.algebra import BinaryOp
-from pygraphblas_spark.descriptor import Descriptor, NULL
+from pygraphblas_spark.algebra import BinaryOp, current_accum
+from pygraphblas_spark.descriptor import Descriptor, NULL, resolve
 
 VAL = "val"
 
@@ -113,8 +113,15 @@ def finalize(
     desc: Descriptor = NULL,
 ) -> DataFrame:
     """Apply the full GraphBLAS write rule (module docstring) to produce
-    the final output DataFrame."""
+    the final output DataFrame.
+
+    Unspecified ``accum`` / ``desc`` fall back to the active
+    ``with Accum(...):`` / ``with <desc>:`` scopes (the reference's
+    ``_get_args``, matrix.py:2380-2399)."""
     keys = list(keys)
+    if accum is None:
+        accum = current_accum.get()
+    desc = resolve(desc)
     z = new if (accum is None or old is None) else accum_merge(old, new, keys, accum)
     if mask is None:
         # No mask: Z replaces C entirely (replace flag is a no-op).

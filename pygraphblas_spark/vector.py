@@ -24,7 +24,7 @@ from pygraphblas_spark.algebra import (
     semiring,
     unary_op,
 )
-from pygraphblas_spark.descriptor import Descriptor, NULL
+from pygraphblas_spark.descriptor import Descriptor, NULL, resolve
 from pygraphblas_spark.operators import contraction, core
 
 VAL = core.VAL
@@ -246,6 +246,7 @@ class Vector:
         broadcast_vector: bool = False,
     ) -> "Vector":
         """v ⊗.⊕ A (reference vector.py:835)."""
+        desc = resolve(desc)
         if semiring is None:
             sr = self._default_semiring(matrix)
         elif isinstance(semiring, str):
@@ -254,9 +255,12 @@ class Vector:
             sr = _lookup(semiring)
         else:
             sr = semiring
+        from pygraphblas_spark.matrix import _promote_inputs
+
+        v_df, m_df = _promote_inputs(self, matrix)
         new = contraction.vxm(
-            self.df,
-            matrix.df,
+            v_df,
+            m_df,
             sr,
             mask=mask.df if mask is not None else None,
             accum=_coerce_binop(accum) if accum else None,
@@ -478,31 +482,167 @@ class Vector:
     def isne(self, other: "Vector") -> bool:
         return not self.iseq(other)
 
+    def all(self, other: "Vector", op) -> bool:
+        """Do all stored elements compare True with ``op``? (reference
+        vector.py:188: size, nvals, pattern must match and every
+        emult-compared value hold.)"""
+        if self.size != other.size:
+            return False
+        if self.nvals != other.nvals:
+            return False
+        c = self.emult(other, op)
+        if c.nvals != self.nvals:
+            return False
+        return c.df.filter(~F.col(VAL).cast("boolean")).limit(1).count() == 0
+
+    def get(self, i: int, default=None):
+        """Element or ``default`` when absent (reference vector.py get)."""
+        v = self.extract_element(i)
+        return default if v is None else v
+
+    def __contains__(self, i) -> bool:
+        return self.extract_element(int(i)) is not None
+
+    def _full(self) -> "Vector":
+        """Densify: absent cells become the type zero (reference
+        vector.py:551-565 — assignScalar + eadd FIRST)."""
+        spark = self.df.sparkSession
+        dense = spark.range(self.size).select(
+            "id",
+            F.lit(gbtypes.default_zero(self.typ))
+            .cast(gbtypes.spark_type(self.typ))
+            .alias(VAL),
+        )
+        return self.eadd(Vector(dense, self.size, self.typ), "FIRST")
+
+    def _compare(self, other, pyop, strop: str) -> "Vector":
+        """Comparison semantics per reference ``Vector._compare``
+        (vector.py:567-584): scalar compare keeps the stored pattern when
+        ``pyop(other, 0)`` holds (values become booleans), else only the
+        cells where the predicate is true; vector compare densifies both
+        sides first."""
+        ops = {"==": "EQ", "!=": "NE", ">": "GT", "<": "LT", ">=": "GE", "<=": "LE"}
+        if isinstance(other, (bool, int, float)):
+            if pyop(other, 0):
+                op = _coerce_binop(ops[strop])
+                df = self.df.select("id", op(F.col(VAL), F.lit(other)).alias(VAL))
+                return Vector(df, self.size, "BOOL")
+            return self.select(strop, other).pattern("BOOL")
+        if isinstance(other, Vector):
+            a, b = self._full(), other._full()
+            res = a.emult(b, ops[strop])
+            res.typ = "BOOL"
+            return res
+        raise TypeError("Unknown vector comparison type.")
+
+    def __gt__(self, other):
+        import operator
+
+        return self._compare(other, operator.gt, ">")
+
+    def __lt__(self, other):
+        import operator
+
+        return self._compare(other, operator.lt, "<")
+
+    def __ge__(self, other):
+        import operator
+
+        return self._compare(other, operator.ge, ">=")
+
+    def __le__(self, other):
+        import operator
+
+        return self._compare(other, operator.le, "<=")
+
+    def __eq__(self, other):
+        import operator
+
+        if other is None:
+            return False
+        return self._compare(other, operator.eq, "==")
+
+    def __ne__(self, other):
+        import operator
+
+        return self._compare(other, operator.ne, "!=")
+
+    __hash__ = object.__hash__  # __eq__ is element-wise, not identity
+
+    # operator sugar (reference vector.py operator table; default
+    # combiner overridable via `with binary_op(...)` scope)
     def __add__(self, other):
         return self._scalar_or_ewise(other, "PLUS", "eadd")
+
+    def __radd__(self, other):
+        return self.apply_first(other, self._sugar_op("PLUS"))
+
+    def __iadd__(self, other):
+        return self._inplace(self._scalar_or_ewise(other, "PLUS", "eadd"))
 
     def __sub__(self, other):
         return self._scalar_or_ewise(other, "MINUS", "eadd")
 
+    def __rsub__(self, other):
+        return self.apply_first(other, self._sugar_op("MINUS"))
+
+    def __isub__(self, other):
+        return self._inplace(self._scalar_or_ewise(other, "MINUS", "eadd"))
+
     def __mul__(self, other):
         return self._scalar_or_ewise(other, "TIMES", "emult")
+
+    def __rmul__(self, other):
+        return self.apply_first(other, self._sugar_op("TIMES"))
+
+    def __imul__(self, other):
+        return self._inplace(self._scalar_or_ewise(other, "TIMES", "emult"))
 
     def __truediv__(self, other):
         return self._scalar_or_ewise(other, "DIV", "emult")
 
+    def __rtruediv__(self, other):
+        return self.apply_first(other, self._sugar_op("DIV"))
+
+    def __itruediv__(self, other):
+        return self._inplace(self._scalar_or_ewise(other, "DIV", "emult"))
+
     def __or__(self, other):
-        return self.eadd(other, "SECOND")
+        return self.eadd(other, self._sugar_op("SECOND"))
+
+    def __ior__(self, other):
+        return self._inplace(self.eadd(other, self._sugar_op("SECOND")))
 
     def __and__(self, other):
-        return self.emult(other, "SECOND")
+        return self.emult(other, self._sugar_op("SECOND"))
+
+    def __iand__(self, other):
+        return self._inplace(self.emult(other, self._sugar_op("SECOND")))
+
+    def __imatmul__(self, other):
+        # v @= A (reference matrix.py:69: in-place vxm)
+        return self._inplace(self.__matmul__(other))
 
     def __neg__(self):
         return self.apply("AINV")
 
+    @staticmethod
+    def _sugar_op(default: str):
+        from pygraphblas_spark.algebra import current_binop
+
+        return current_binop.get() or default
+
+    def _inplace(self, result: "Vector") -> "Vector":
+        """In-place operator facade (see Matrix._inplace)."""
+        self.df, self.typ = result.df, result.typ
+        self.size = result.size
+        return self
+
     def _scalar_or_ewise(self, other, opname, ewise):
+        op = self._sugar_op(opname)
         if isinstance(other, Vector):
-            return getattr(self, ewise)(other, opname)
-        return self.apply_second(opname, other)
+            return getattr(self, ewise)(other, op)
+        return self.apply_second(op, other)
 
     # -- sinks --
 

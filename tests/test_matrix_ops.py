@@ -375,3 +375,150 @@ def test_gini_matches_numpy_and_is_distributed(spark):
         if "row_number()" in line:
             assert "windowspecdefinition(part" in line, line
     assert "rangepartitioning" in plan
+
+
+# ---- in-place / reflected sugar (reference matrix.py:64-90, 1625-1711) ----
+
+
+def test_matrix_inplace_ops(spark):
+    I = list(range(5))
+    a = ML(spark, I, I, [1, 2, 3, 4, 5])
+    b = ML(spark, I, I, [10, 20, 30, 40, 50])
+    ref_add = a.eadd(b, "PLUS")
+    m = ML(spark, I, I, [1, 2, 3, 4, 5])
+    mid = id(m)
+    m += b
+    assert id(m) == mid  # facade mutates in place
+    assert m.iseq(ref_add)
+    m = ML(spark, I, I, [1, 2, 3, 4, 5])
+    m *= b
+    assert m.iseq(ML(spark, I, I, [10, 40, 90, 160, 250]))
+    m = ML(spark, I, I, [10.0, 20.0, 30.0, 40.0, 50.0])
+    m /= ML(spark, I, I, [2.0] * 5)
+    assert m.iseq(ML(spark, I, I, [5.0, 10.0, 15.0, 20.0, 25.0]))
+    m = ML(spark, I, I, [1, 2, 3, 4, 5])
+    m -= b
+    assert m.iseq(a.eadd(b, "MINUS"))
+    m = ML(spark, I, I, [1, 2, 3, 4, 5])
+    m |= b
+    assert m.iseq(a.eadd(b, "SECOND"))
+    m = ML(spark, I, I, [1, 2, 3, 4, 5])
+    m &= b
+    assert m.iseq(a.emult(b, "SECOND"))
+    m = ML(spark, I, I, [1.0, 2.0, 3.0, 4.0, 5.0])
+    m @= ML(spark, I, I, [2.0] * 5)
+    assert m.iseq(ML(spark, I, I, [2.0, 4.0, 6.0, 8.0, 10.0]))
+    # scalar in-place
+    m = ML(spark, I, I, [1, 2, 3, 4, 5])
+    m += 10
+    assert m.iseq(ML(spark, I, I, [11, 12, 13, 14, 15]))
+
+
+def test_matrix_reflected_ops(spark):
+    I = list(range(4))
+    a = ML(spark, I, I, [1.0, 2.0, 3.0, 4.0])
+    assert (2.0 + a).iseq(ML(spark, I, I, [3.0, 4.0, 5.0, 6.0]))
+    assert (2.0 * a).iseq(ML(spark, I, I, [2.0, 4.0, 6.0, 8.0]))
+    assert (10.0 - a).iseq(ML(spark, I, I, [9.0, 8.0, 7.0, 6.0]))
+    assert (12.0 / a).iseq(ML(spark, I, I, [12.0, 6.0, 4.0, 3.0]))
+
+
+def test_binop_contextvar_scope(spark):
+    from pygraphblas_spark import binary_op
+
+    I = list(range(4))
+    a = ML(spark, I, I, [1, 7, 3, 9])
+    b = ML(spark, I, I, [5, 2, 8, 4])
+    with binary_op("MIN"):
+        got = a + b  # PLUS default overridden by scope
+    assert got.iseq(ML(spark, I, I, [1, 2, 3, 4]))
+    assert (a + b).iseq(ML(spark, I, I, [6, 9, 11, 13]))  # scope exited
+
+
+def test_accum_contextvar_scope(spark):
+    """with Accum(PLUS): an op writing into out= merges instead of
+    replacing (reference binaryop.py:80-101 + tests/test_matrix.py
+    accum sections)."""
+    from pygraphblas_spark import Accum
+
+    I = list(range(3))
+    out = ML(spark, I, I, [100, 200, 300])
+    a = ML(spark, I, I, [1.0, 2.0, 3.0])
+    with Accum("PLUS"):
+        r = a.apply("IDENTITY", out=out)
+    assert sorted(r.to_lists()[2]) == [101.0, 202.0, 303.0]
+    # outside the scope: plain replace
+    r2 = a.apply("IDENTITY", out=ML(spark, I, I, [100, 200, 300]))
+    assert sorted(r2.to_lists()[2]) == [1.0, 2.0, 3.0]
+
+
+def test_desc_contextvar_scope(spark):
+    from pygraphblas_spark import descriptor
+
+    a = ML(spark, [0, 0], [1, 2], [1.0, 2.0], 3, 3)
+    b = ML(spark, [0, 1], [2, 2], [1.0, 1.0], 3, 3)
+    explicit = a.mxm(b, "PLUS_TIMES", desc=descriptor.T0)
+    with descriptor.T0:
+        scoped = a.mxm(b, "PLUS_TIMES")
+    assert scoped.iseq(explicit)
+    assert (scoped.nrows, scoped.ncols) == (explicit.nrows, explicit.ncols)
+
+
+def test_matrix_all_get_contains_scipy(spark):
+    m = ML(spark, [0, 1, 2], [1, 2, 0], [1, 2, 3])
+    n = ML(spark, [0, 1, 2], [1, 2, 0], [1, 2, 3])
+    assert m.all(n, "EQ")
+    assert not m.all(n, "GT")
+    assert m.get(1, 2) == 2
+    assert m.get(0, 0) is None
+    assert m.get(0, 0, "foo") == "foo"
+    assert (0, 1) in m and (0, 0) not in m
+    # scipy round-trip (reference matrix.py:3495) — scipy optional
+    pytest.importorskip("scipy")
+    s = m.to_scipy_sparse()
+    back = Matrix.from_scipy_sparse(spark, s)
+    assert m.iseq(back)
+
+
+def test_bitwise_and_frexp_ops(spark):
+    import math
+
+    from pygraphblas_spark.algebra import binary_op as bop, unary_op as uop
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(12,)], "x long")
+    r = df.select(
+        bop("BGET")(F.col("x"), F.lit(3)).alias("g"),
+        bop("BSET")(F.col("x"), F.lit(1)).alias("s"),
+        bop("BCLR")(F.col("x"), F.lit(3)).alias("c"),
+        bop("BSHIFT")(F.col("x"), F.lit(2)).alias("l"),
+        bop("BSHIFT")(F.col("x"), F.lit(-2)).alias("rr"),
+        bop("BGET")(F.col("x"), F.lit(99)).alias("oob"),
+    ).first()
+    # 12 = 0b1100; 1-based bits: bit3=1, set bit1 -> 13, clear bit3 -> 8
+    assert (r["g"], r["s"], r["c"], r["l"], r["rr"], r["oob"]) == (1, 13, 8, 48, 3, 0)
+
+    vals = [8.0, 0.15, -3.7, 0.0, 1.0, 0.5, 1e-300]
+    dfv = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = dfv.select(
+        F.col("x"),
+        uop("FREXPX")(F.col("x")).alias("m"),
+        uop("FREXPE")(F.col("x")).alias("e"),
+    ).collect()
+    for row in rows:
+        m_want, e_want = math.frexp(row["x"])
+        assert row["m"] == pytest.approx(m_want, abs=0), row["x"]
+        assert row["e"] == e_want, row["x"]
+
+    rows = dfv.filter(F.col("x") > 0).select(
+        F.col("x"),
+        uop("LGAMMA")(F.col("x")).alias("lg"),
+        uop("TGAMMA")(F.col("x")).alias("tg"),
+        uop("ERF")(F.col("x")).alias("erf"),
+        uop("ERFC")(F.col("x")).alias("erfc"),
+    ).collect()
+    for row in rows:
+        assert row["lg"] == pytest.approx(math.lgamma(row["x"]), rel=1e-12)
+        assert row["tg"] == pytest.approx(math.gamma(row["x"]), rel=1e-12)
+        assert row["erf"] == pytest.approx(math.erf(row["x"]), rel=1e-12)
+        assert row["erfc"] == pytest.approx(math.erfc(row["x"]), rel=1e-12)

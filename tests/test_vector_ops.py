@@ -117,3 +117,70 @@ def test_vector_setitem_delitem_sugar(spark):
     mask = Vector.from_lists(spark, [3], [True], size=4)
     v[mask] = -1.0
     assert v.to_dict()[3] == -1.0
+
+
+# ---- comparisons / all / sugar parity (reference vector.py:188,567-604) ----
+
+
+def test_vector_comparisons(spark):
+    v = VL(spark, [0, 1, 2], [0, 1, 2], 4)
+    # pyop(other, 0) True branch: stored pattern kept, values booleanized
+    gt1 = v > 1
+    assert gt1.typ == "BOOL"
+    assert gt1.to_dict() == {0: False, 1: False, 2: True}
+    # pyop False branch: only passing cells survive (pattern semantics)
+    gtm1 = v > -1
+    assert gtm1.to_dict() == {0: True, 1: True, 2: True}
+    lt1 = v < 1
+    assert lt1.to_dict() == {0: True}
+    # vector-vector: densify both then elementwise compare
+    w = VL(spark, [0, 1, 3], [0, 5, 7], 4)
+    eq = v == w
+    assert eq.to_dict() == {0: True, 1: False, 2: False, 3: False}
+    ne = v != w
+    assert ne.to_dict() == {0: False, 1: True, 2: True, 3: True}
+
+
+def test_vector_all_get_contains(spark):
+    v = VL(spark, [0, 1, 2], [1, 2, 3])
+    w = VL(spark, [0, 1, 2], [1, 2, 3])
+    assert v.all(w, "EQ")
+    assert not v.all(w, "GT")
+    assert not v.all(VL(spark, [0, 1], [1, 2], 3), "EQ")  # nvals differ
+    assert v.get(1) == 2
+    assert v.get(9) is None  # out of stored pattern
+    assert v.get(9, "d") == "d"
+    assert 1 in v and 9 not in v
+
+
+def test_vector_inplace_and_reflected(spark):
+    v = VL(spark, [0, 1, 2], [1.0, 2.0, 3.0])
+    w = VL(spark, [0, 1, 2], [10.0, 20.0, 30.0])
+    vid = id(v)
+    v += w
+    assert id(v) == vid
+    assert v.iseq(VL(spark, [0, 1, 2], [11.0, 22.0, 33.0]))
+    v = VL(spark, [0, 1, 2], [1.0, 2.0, 3.0])
+    v *= 2
+    assert v.iseq(VL(spark, [0, 1, 2], [2.0, 4.0, 6.0]))
+    v = VL(spark, [0, 1, 2], [1.0, 2.0, 3.0])
+    v -= w
+    assert v.iseq(VL(spark, [0, 1, 2], [-9.0, -18.0, -27.0]))
+    v = VL(spark, [0, 1, 2], [10.0, 20.0, 30.0])
+    v /= VL(spark, [0, 1, 2], [2.0, 4.0, 5.0])
+    assert v.iseq(VL(spark, [0, 1, 2], [5.0, 5.0, 6.0]))
+    v = VL(spark, [0, 1, 2], [1.0, 2.0, 3.0])
+    v |= w
+    assert v.iseq(w)
+    v = VL(spark, [0, 1, 2], [1.0, 2.0, 3.0])
+    v &= w
+    assert v.iseq(w)
+    assert (2.0 + VL(spark, [0, 1], [1.0, 2.0])).iseq(VL(spark, [0, 1], [3.0, 4.0]))
+    assert (12.0 / VL(spark, [0, 1], [3.0, 4.0])).iseq(VL(spark, [0, 1], [4.0, 3.0]))
+    # scoped default combiner applies to vectors too
+    from pygraphblas_spark import binary_op
+
+    a = VL(spark, [0, 1], [1, 7])
+    b = VL(spark, [0, 1], [5, 2])
+    with binary_op("MIN"):
+        assert (a + b).iseq(VL(spark, [0, 1], [1, 2]))
