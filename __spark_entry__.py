@@ -626,6 +626,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return simhash_signatures(docs, hash_mode="sha256")
 
+    def media_meta(spark, sf):
+        # REAL (non-stub) media metadata: synthesize genuinely valid
+        # PNG/WAV payloads, parse their headers back with the stdlib
+        # (pipeline/multimodal.py parse_media_metadata). The oracle is
+        # the closed-form generative model — any parser bug (endian,
+        # offset, framerate) breaks the hash match.
+        from pygraphblas_spark.pipeline.multimodal import (
+            parse_media_metadata,
+            synthesize_media_table,
+        )
+
+        media = synthesize_media_table(spark, 300, seed=42, payloads="real")
+        return parse_media_metadata(media).select(
+            "media_id",
+            "mime",
+            "parsed_width",
+            "parsed_height",
+            "parsed_duration_ms",
+            "parse_ok",
+        )
+
     def codegraph_pagerank(spark, sf):
         # full input_hint pipeline: synth source table → dense-id
         # dictionary → import+commit edges → pagerank. sha256 hash mode
@@ -676,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": minhash_near_dups,
         "embedding_near_dups": embedding_near_dups,
         "simhash_sigs": simhash_sigs,
+        "media_meta": media_meta,
     }
 
 
@@ -802,6 +824,20 @@ def oracle_sql() -> dict[str, str]:
             planes=4, tables=8, threshold=0.35
         ),
         "codegraph_pagerank": _codegraph_pagerank_oracle(),
+        "media_meta": (
+            # closed-form generative-model oracle for the REAL PNG/WAV
+            # header parse (multimodal.synthesize_media_table semantics:
+            # mime cycles png/wav/mp4; dims/duration are id arithmetic;
+            # WAV at 1 kHz => parsed duration == generated duration)
+            "SELECT i AS media_id, "
+            "CASE i % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' "
+            "ELSE 'video/mp4' END AS mime, "
+            "CASE WHEN i % 3 = 0 THEN CAST((i % 16 + 1) * 64 AS INT) END AS parsed_width, "
+            "CASE WHEN i % 3 = 0 THEN CAST((i % 9 + 1) * 64 AS INT) END AS parsed_height, "
+            "CASE WHEN i % 3 = 1 THEN CAST((i % 30 + 1) * 1000 AS INT) END AS parsed_duration_ms, "
+            "i % 3 <> 2 AS parse_ok "
+            "FROM (SELECT unnest(generate_series(0, 299)) AS i)"
+        ),
         "triangle_count": (
             "WITH co AS ( "
             f"  SELECT a.dst AS u, b.dst AS v FROM {_E} a JOIN {_E} b ON a.src = b.src "
