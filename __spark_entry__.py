@@ -1,9 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` exposes the engine's operator surface over edge tables
-derived from the driver's testdata (sources/tpch_graph.py); each SQL-
-expressible operator has a DuckDB oracle in ``oracle_sql()``. Iterative
-algorithms (pagerank / cc / lpa / bfs / sssp) are registered rows-only.
+derived from the driver's testdata (sources/tpch_graph.py); EVERY query
+has a DuckDB oracle in ``oracle_sql()`` — including the iterative
+algorithms (fixed-iteration pagerank / unrolled LPA / recursive-CTE CC
+and BFS/SSSP / unrolled Brandes betweenness) and the hash-based LSH
+pipelines (sha256 hash mode shared between engines).
 
 Numeric discipline for value-hash parity: quantities are cast to BIGINT
 (they are integral in the testdata) so sums are exact; float results are
@@ -192,6 +194,55 @@ def _simhash_oracle(bits: int = 64) -> str:
         f"tok -> {_hex60('tok', 0)}) AS th "
         "FROM documents WHERE doc_id < 300) "
         f"SELECT doc_id, CAST({votes} AS BIGINT) AS simhash FROM t"
+    )
+
+
+def _betweenness_oracle(n_sources: int = 4, max_levels: int = 40) -> str:
+    """Brandes betweenness twin: BFS distances via a recursive CTE, then
+    sigma (path counts) as per-level joins unrolled to ``max_levels``,
+    then the backward dependency sweep unrolled the same way — the
+    aggregates-inside-recursion restriction is sidestepped by unrolling.
+    Matches algorithms/betweenness.py: delta = sigma_v/sigma_w (1+delta_w)
+    over successors one level deeper; bc(v) = sum over sources, v != s."""
+    parts = [
+        f"WITH RECURSIVE e0 AS MATERIALIZED {_E}",
+        "sym AS MATERIALIZED (SELECT src, dst FROM "
+        "(SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0) WHERE src <> dst)",
+        f"srcs AS (SELECT src AS s FROM (SELECT DISTINCT src FROM e0) ORDER BY src LIMIT {n_sources})",
+        f"bfs(s, id, level) AS (SELECT s, s, 0 FROM srcs "
+        f"UNION SELECT b.s, m.dst, b.level + 1 FROM sym m JOIN bfs b ON m.src = b.id "
+        f"WHERE b.level < {max_levels})",
+        "dist AS MATERIALIZED (SELECT s, id, MIN(level) AS dist FROM bfs GROUP BY s, id)",
+        "sig0 AS MATERIALIZED (SELECT s, s AS id, CAST(1 AS DOUBLE) AS sigma FROM srcs)",
+    ]
+    for L in range(1, max_levels + 1):
+        parts.append(
+            f"sig{L} AS MATERIALIZED (SELECT d.s, d.id, SUM(p.sigma) AS sigma "
+            f"FROM dist d JOIN sym m ON m.dst = d.id "
+            f"JOIN sig{L - 1} p ON p.s = d.s AND p.id = m.src "
+            f"WHERE d.dist = {L} GROUP BY d.s, d.id)"
+        )
+    parts.append(
+        f"dl{max_levels} AS MATERIALIZED "
+        f"(SELECT s, id, sigma, CAST(0 AS DOUBLE) AS delta FROM sig{max_levels})"
+    )
+    for L in range(max_levels - 1, -1, -1):
+        parts.append(
+            f"dl{L} AS MATERIALIZED (SELECT v.s, v.id, v.sigma, "
+            f"COALESCE(SUM(v.sigma / w.sigma * (1.0 + w.delta)), 0) AS delta "
+            f"FROM sig{L} v LEFT JOIN sym m ON m.src = v.id "
+            f"LEFT JOIN dl{L + 1} w ON w.s = v.s AND w.id = m.dst "
+            f"GROUP BY v.s, v.id, v.sigma)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT s, id, delta FROM dl{L}" for L in range(max_levels + 1)
+    )
+    parts.append(f"alldl AS ({union})")
+    parts.append("verts AS (SELECT DISTINCT src AS id FROM sym)")
+    return ", ".join(parts) + (
+        " SELECT verts.id, ROUND(COALESCE(b.bc, 0), 6) AS bc FROM verts "
+        "LEFT JOIN (SELECT id, SUM(delta) AS bc FROM alldl WHERE id <> s GROUP BY id) b "
+        "ON verts.id = b.id"
     )
 
 
@@ -824,6 +875,7 @@ def oracle_sql() -> dict[str, str]:
             planes=4, tables=8, threshold=0.35
         ),
         "codegraph_pagerank": _codegraph_pagerank_oracle(),
+        "betweenness_4src": _betweenness_oracle(n_sources=4, max_levels=40),
         "media_meta": (
             # closed-form generative-model oracle for the REAL PNG/WAV
             # header parse (multimodal.synthesize_media_table semantics:
