@@ -246,6 +246,41 @@ def _betweenness_oracle(n_sources: int = 4, max_levels: int = 40) -> str:
     )
 
 
+def _ktruss_oracle(k: int = 3, rounds: int = 3) -> str:
+    """K-truss twin: unrolled peel rounds; each round recomputes edge
+    support (= common-neighbor count, the PLUS_LAND masked mxm of
+    algorithms/ktruss.py) over the surviving graph and drops edges with
+    support < k-2. ``rounds`` >= the measured fixpoint depth — extra
+    rounds are no-ops at fixpoint."""
+    co = (
+        f"SELECT a.dst AS src, b.dst AS dst FROM {_E} a JOIN {_E} b ON a.src = b.src "
+        "WHERE a.dst <> b.dst GROUP BY a.dst, b.dst HAVING COUNT(*) >= 2"
+    )
+    parts = [f"WITH t0 AS MATERIALIZED ({co})"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"t{i} AS MATERIALIZED (SELECT e.src, e.dst, COUNT(*) AS support "
+            f"FROM t{i - 1} e JOIN t{i - 1} x ON x.src = e.src "
+            f"JOIN t{i - 1} y ON y.src = e.dst AND y.dst = x.dst "
+            f"GROUP BY e.src, e.dst HAVING COUNT(*) >= {k - 2})"
+        )
+    return ", ".join(parts) + (
+        f" SELECT src, dst, CAST(support AS BIGINT) AS support FROM t{rounds}"
+    )
+
+
+def _gini_oracle() -> str:
+    """Gini twin: global rank formula. COUNT/SUM(d)/SUM(i*d) are exact
+    integers (in double form), so the final float expression is
+    bit-identical to the Spark/Python computation."""
+    return (
+        f"WITH deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM {_E} GROUP BY src), "
+        "r AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS i FROM deg), "
+        "agg AS (SELECT COUNT(*) AS n, SUM(d) AS s, SUM(i * d) AS si FROM r) "
+        "SELECT (2.0 * si) / (n * s) - (n + 1.0) / n AS gini FROM agg"
+    )
+
+
 def _codegraph_pagerank_oracle(
     n_files: int = 2000,
     seed: int = 42,
@@ -677,6 +712,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return simhash_signatures(docs, hash_mode="sha256")
 
+    def gini_q(spark, sf):
+        # degree-distribution Gini via the distributed rank
+        # (matrix.py _ranked_degrees); all three aggregates are exact
+        # integers in double form, so the final float expression is
+        # bit-identical across engines — no rounding needed
+        e = _edges(spark, sf)
+        m = Matrix.from_edge_df(
+            e.withColumn("val", F.lit(1)), 1 << 40, 1 << 40, "INT64"
+        )
+        g = m.gini()
+        return spark.createDataFrame([(g,)], "gini double")
+
+    def ktruss_q(spark, sf):
+        # 3-truss of the part co-occurrence graph (n>=2), fixed 3 peel
+        # rounds (measured fixpoint at sf0.01 — one extra SQL round is a
+        # no-op at fixpoint, same argument as the LPA oracle)
+        from pygraphblas_spark.algorithms import k_truss
+
+        e = _edges(spark, sf)
+        co = (
+            e.alias("a")
+            .join(e.alias("b"), F.col("a.src") == F.col("b.src"))
+            .filter(F.col("a.dst") != F.col("b.dst"))
+            .groupBy(F.col("a.dst").alias("src"), F.col("b.dst").alias("dst"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 2)
+            .select("src", "dst")
+        )
+        return k_truss(co, 3, max_iters=3).select(
+            "src", "dst", F.col("support").cast("long").alias("support")
+        )
+
     def media_meta(spark, sf):
         # REAL (non-stub) media metadata: synthesize genuinely valid
         # PNG/WAV payloads, parse their headers back with the stdlib
@@ -749,6 +816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": embedding_near_dups,
         "simhash_sigs": simhash_sigs,
         "media_meta": media_meta,
+        "gini": gini_q,
+        "ktruss": ktruss_q,
     }
 
 
@@ -876,6 +945,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "codegraph_pagerank": _codegraph_pagerank_oracle(),
         "betweenness_4src": _betweenness_oracle(n_sources=4, max_levels=40),
+        "gini": _gini_oracle(),
+        "ktruss": _ktruss_oracle(k=3, rounds=3),
         "media_meta": (
             # closed-form generative-model oracle for the REAL PNG/WAV
             # header parse (multimodal.synthesize_media_table semantics:
