@@ -127,7 +127,14 @@ class _BlockEngine:
         e = e.repartition(self.num_blocks, "dst").sortWithinPartitions("dst")
         self.blocks, self.idt = _build_blocks(e, self.narrow)
         if self.local_mode:
-            self.tmpdir = tempfile.mkdtemp(prefix="pgb_vec_")
+            # tmpfs (/dev/shm) over disk-backed /tmp: the per-iteration
+            # vector file is pure transport (re-published every round) —
+            # on disk its dirty-page WRITEBACK competes with the workers'
+            # reads and makes iteration latency bimodal (measured: up to
+            # 6x swings between identical reps). tmpfs is RAM: one copy,
+            # no writeback, stable floors.
+            base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+            self.tmpdir = tempfile.mkdtemp(prefix="pgb_vec_", dir=base)
         return self
 
     def publish(self, arr: np.ndarray):
@@ -146,6 +153,26 @@ class _BlockEngine:
     @staticmethod
     def fetch(path, bcast) -> np.ndarray:
         return np.load(path, mmap_mode="r") if path is not None else bcast.value
+
+    def memmap_file(self, name: str, dtype: str = "float64"):
+        """Pre-sized raw buffer file in the engine tmpdir (local mode
+        only) — the write-back half of the vector transport: kernel
+        tasks open it ``mode='r+'`` and scatter their per-block results
+        directly (dst-partitioned blocks are disjoint, so writes never
+        race), which removes the per-iteration Arrow collect + driver
+        merge from the serial path. Returns ``(path, ndarray view)``."""
+        path = os.path.join(self.tmpdir, name)
+        return path, np.memmap(path, dtype=dtype, mode="w+", shape=(self.n,))
+
+    def covered_mask(self) -> np.ndarray:
+        """Boolean n-mask: True where some block holds in-edges for the
+        vertex (its scatter slot is owned by exactly one block)."""
+        ids_tbl = self.blocks.select("uniq").toArrow()
+        cov = np.zeros(self.n, dtype=bool)
+        col = ids_tbl.column("uniq")
+        for i in range(ids_tbl.num_rows):
+            cov[np.frombuffer(col[i].as_buffer(), dtype="int64")] = True
+        return cov
 
     def run(self, kernel, schema: str):
         """One iteration job: map ``kernel`` over the block cache, fetch
@@ -170,11 +197,15 @@ class _BlockEngine:
             shutil.rmtree(self.tmpdir, ignore_errors=True)
 
 
-def _maybe_durable(ckpt, spark, iteration: int, name: str, ids, vals, col, metrics):
+def _maybe_durable(ckpt, spark, iteration: int, name: str, n: int, vals, col, metrics):
     """Write a durable parquet state + manifest record on cadence; a
-    metrics-only record otherwise (state lives driver-side as numpy)."""
+    metrics-only record otherwise (state lives driver-side as numpy).
+    The dense id column is materialized only on cadence — allocating it
+    every iteration would put an O(n) driver copy on the serial path."""
     if ckpt.on_cadence(iteration):
-        df = spark.createDataFrame(pd.DataFrame({"id": ids, col: vals}))
+        df = spark.createDataFrame(
+            pd.DataFrame({"id": np.arange(n, dtype="int64"), col: np.asarray(vals)})
+        )
         ckpt.save(iteration, {name: df}, metrics)
     else:
         ckpt.record(iteration, metrics)
@@ -188,12 +219,15 @@ def pagerank_dense_kernel(
     max_iters: int = 100,
     num_blocks: int | None = None,
     checkpoint=None,
+    engine: "_BlockEngine | None" = None,
 ) -> DataFrame:
     """PageRank over cached CSR blocks — zero shuffles per iteration.
 
     Returns (id: long, rank: double) for every vertex 0..n-1; identical
     results to ``algorithms.pagerank`` (same ``gap/prmark.py:8-30`` GAP
     formulation: damping, teleport, dangling leak, L1 convergence).
+    Pass a pre-built ``engine`` (over the same directed edge table) to
+    amortize the one-time block build across repeated runs.
     """
     import pyarrow as pa
 
@@ -203,13 +237,15 @@ def pagerank_dense_kernel(
     ckpt = checkpoint or CheckpointManager(algorithm="pagerank_kernel")
 
     with iteration_conf(spark):
+        owned = engine is None
         # one cached scan feeds both setup passes (degree agg + block
         # build) instead of two reads of the source
-        e_src = edges.select("src", "dst").persist()
-        eng = _BlockEngine(e_src, n, num_blocks)
+        e_src = edges.select("src", "dst").persist() if owned else edges
+        eng = engine or _BlockEngine(e_src, n, num_blocks)
         n = eng.n
         if n == 0:
-            e_src.unpersist()
+            if owned:
+                e_src.unpersist()
             return spark.createDataFrame([], "id long, rank double")
 
         # out-degree → inv_d = damping/outdeg (0 for dangling; GAP leak)
@@ -220,59 +256,152 @@ def pagerank_dense_kernel(
         inv_d[deg_pd["src"].to_numpy()] = damping / deg_pd["deg"].to_numpy(
             dtype="float64"
         )
-        eng.build()
-        e_src.unpersist()
+        if owned:
+            eng.build()
+            e_src.unpersist()
         idt = eng.idt
 
         teleport = (1.0 - damping) / n
-        rank = np.full(n, 1.0 / n, dtype="float64")
-        try:
-            for it in range(max_iters):
-                w_path, w_b = eng.publish(rank * inv_d)
-
-                def spmv(batches):
-                    wv = _BlockEngine.fetch(w_path, w_b)
-                    for b in batches:
-                        for i in range(b.num_rows):
-                            uniq = np.frombuffer(
-                                b.column("uniq")[i].as_buffer(), dtype="int64"
-                            )
-                            starts = np.frombuffer(
-                                b.column("starts")[i].as_buffer(), dtype="int64"
-                            )
-                            src = np.frombuffer(
-                                b.column("src")[i].as_buffer(), dtype=idt
-                            )
-                            sums = np.add.reduceat(wv[src], starts)
-                            yield pa.RecordBatch.from_arrays(
-                                [
-                                    pa.array([uniq.tobytes()], type=pa.binary()),
-                                    pa.array([sums.tobytes()], type=pa.binary()),
-                                ],
-                                names=["ids", "vals"],
-                            )
-
-                tbl = eng.run(spmv, "ids binary, vals binary")
-                y = np.full(n, teleport, dtype="float64")
-                ids_col, vals_col = tbl.column("ids"), tbl.column("vals")
-                for i in range(tbl.num_rows):
-                    ids = np.frombuffer(ids_col[i].as_buffer(), dtype="int64")
-                    y[ids] += np.frombuffer(vals_col[i].as_buffer(), dtype="float64")
-                rdiff = float(np.abs(y - rank).sum())
-                rank = y
-                _maybe_durable(
-                    ckpt, spark, it + 1, "rank",
-                    np.arange(n, dtype="int64"), rank, "rank",
-                    {"rdiff": rdiff, "n": n},
-                )
-                if rdiff <= tol:
-                    break
-        finally:
-            eng.close()
-
+        if eng.local_mode:
+            rank = _pagerank_fused_loop(
+                eng, spark, ckpt, n, inv_d, teleport, tol, max_iters, idt, owned
+            )
+        else:
+            rank = _pagerank_collect_loop(
+                eng, spark, ckpt, n, inv_d, teleport, tol, max_iters, idt, owned
+            )
         return spark.createDataFrame(
             pd.DataFrame({"id": np.arange(n, dtype="int64"), "rank": rank})
         )
+
+
+def _pagerank_fused_loop(
+    eng, spark, ckpt, n, inv_d, teleport, tol, max_iters, idt, owned
+) -> np.ndarray:
+    """Local-mode iteration: kernel tasks scatter their per-block new
+    ranks straight into a shared tmpfs memmap (disjoint dst slots — no
+    races) and return only a per-block L1 residual. The serial path per
+    iteration is two O(n) driver passes (w = rank·inv_d, teleport fill);
+    there is NO per-iteration Arrow collect or driver-side merge. This
+    is the node-local analog of each executor owning its dst-slice of
+    the rank vector; the cross-node combine lives in the broadcast path.
+    """
+    import pyarrow as pa
+
+    # static dst coverage → vertices with no in-edges hold exactly the
+    # teleport mass every iteration; only the residual needs them
+    uncov = np.flatnonzero(~eng.covered_mask())
+    w_path, w_mm = eng.memmap_file("pr_w.f64")
+    y_paths, y_mms = [], []
+    for name in ("pr_y0.f64", "pr_y1.f64"):
+        p, m = eng.memmap_file(name)
+        y_paths.append(p)
+        y_mms.append(m)
+    y_mms[0][:] = 1.0 / n
+    cur = y_mms[0]
+    try:
+        for it in range(max_iters):
+            prev, cur = y_mms[it % 2], y_mms[(it + 1) % 2]
+            prev_path, cur_path = y_paths[it % 2], y_paths[(it + 1) % 2]
+            np.multiply(prev, inv_d, out=w_mm)
+            cur[:] = teleport  # dangling-in slots keep the base mass
+
+            def spmv(batches, wp=w_path, pp=prev_path, cp=cur_path):
+                wv = np.memmap(wp, dtype="float64", mode="r", shape=(n,))
+                pv = np.memmap(pp, dtype="float64", mode="r", shape=(n,))
+                out = np.memmap(cp, dtype="float64", mode="r+", shape=(n,))
+                for b in batches:
+                    for i in range(b.num_rows):
+                        uniq = np.frombuffer(
+                            b.column("uniq")[i].as_buffer(), dtype="int64"
+                        )
+                        starts = np.frombuffer(
+                            b.column("starts")[i].as_buffer(), dtype="int64"
+                        )
+                        src = np.frombuffer(
+                            b.column("src")[i].as_buffer(), dtype=idt
+                        )
+                        ynew = teleport + np.add.reduceat(wv[src], starts)
+                        out[uniq] = ynew
+                        rd = float(np.abs(ynew - pv[uniq]).sum())
+                        yield pa.RecordBatch.from_arrays(
+                            [pa.array([rd], type=pa.float64())], names=["rd"]
+                        )
+                out.flush()
+
+            tbl = eng.run(spmv, "rd double")
+            rdiff = float(sum(tbl.column("rd").to_pylist())) + float(
+                np.abs(teleport - prev[uncov]).sum()
+            )
+            _maybe_durable(
+                ckpt, spark, it + 1, "rank", n, cur, "rank",
+                {"rdiff": rdiff, "n": n},
+            )
+            if rdiff <= tol:
+                break
+        return np.array(cur, dtype="float64")
+    finally:
+        if owned:
+            eng.close()
+        else:
+            for p in [w_path] + y_paths:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+
+
+def _pagerank_collect_loop(
+    eng, spark, ckpt, n, inv_d, teleport, tol, max_iters, idt, owned
+) -> np.ndarray:
+    """Cluster-mode iteration: broadcast the weighted vector, collect
+    per-block (ids, vals) via Arrow, merge on the driver."""
+    import pyarrow as pa
+
+    rank = np.full(n, 1.0 / n, dtype="float64")
+    try:
+        for it in range(max_iters):
+            w_path, w_b = eng.publish(rank * inv_d)
+
+            def spmv(batches):
+                wv = _BlockEngine.fetch(w_path, w_b)
+                for b in batches:
+                    for i in range(b.num_rows):
+                        uniq = np.frombuffer(
+                            b.column("uniq")[i].as_buffer(), dtype="int64"
+                        )
+                        starts = np.frombuffer(
+                            b.column("starts")[i].as_buffer(), dtype="int64"
+                        )
+                        src = np.frombuffer(
+                            b.column("src")[i].as_buffer(), dtype=idt
+                        )
+                        sums = np.add.reduceat(wv[src], starts)
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                pa.array([uniq.tobytes()], type=pa.binary()),
+                                pa.array([sums.tobytes()], type=pa.binary()),
+                            ],
+                            names=["ids", "vals"],
+                        )
+
+            tbl = eng.run(spmv, "ids binary, vals binary")
+            y = np.full(n, teleport, dtype="float64")
+            ids_col, vals_col = tbl.column("ids"), tbl.column("vals")
+            for i in range(tbl.num_rows):
+                ids = np.frombuffer(ids_col[i].as_buffer(), dtype="int64")
+                y[ids] += np.frombuffer(vals_col[i].as_buffer(), dtype="float64")
+            rdiff = float(np.abs(y - rank).sum())
+            rank = y
+            _maybe_durable(
+                ckpt, spark, it + 1, "rank", n, rank, "rank",
+                {"rdiff": rdiff, "n": n},
+            )
+            if rdiff <= tol:
+                break
+        return rank
+    finally:
+        eng.close() if owned else eng._release_prev()
 
 
 def _symmetrized(edges: DataFrame, directed: bool) -> DataFrame:
@@ -356,7 +485,7 @@ def cc_dense_kernel(
                 labels = new
                 _maybe_durable(
                     ckpt, spark, it + 1, "labels",
-                    np.arange(n, dtype="int64"), labels, "component",
+                    n, labels, "component",
                     {"changed": changed, "n": n},
                 )
                 if changed == 0:
@@ -470,7 +599,7 @@ def lpa_dense_kernel(
                 labels = new
                 _maybe_durable(
                     ckpt, spark, it + 1, "labels",
-                    np.arange(n, dtype="int64"), labels, "label",
+                    n, labels, "label",
                     {"changed": changed, "n": n},
                 )
                 if changed == 0:
