@@ -404,6 +404,112 @@ def _pagerank_collect_loop(
         eng.close() if owned else eng._release_prev()
 
 
+def _cc_block_update(pv, uniq, starts, src):
+    """Min-label diffusion per block: label[v] ← min(label[v], min over
+    in-neighbors) — same fixpoint as the collect loop's driver merge."""
+    return np.minimum(pv[uniq], np.minimum.reduceat(pv[src], starts))
+
+
+def _lpa_block_update(pv, uniq, starts, src, base):
+    """Most-frequent-neighbor label with min tiebreak per block —
+    identical math to the collect loop's ``vote`` kernel. Counts per
+    (dst, label) are final within a block (dst-partitioned)."""
+    seg = np.zeros(len(src), dtype="int64")
+    seg[starts[1:]] = 1
+    code = np.cumsum(seg)  # dense dst code per edge
+    key = code * base + pv[src]
+    kk, counts = np.unique(key, return_counts=True)
+    kcode = kk // base
+    g = np.flatnonzero(np.r_[True, kcode[1:] != kcode[:-1]])
+    maxc = np.maximum.reduceat(counts, g)
+    reps = np.diff(np.r_[g, len(counts)])
+    is_max = counts == np.repeat(maxc, reps)
+    idx = np.arange(len(counts))
+    idx[~is_max] = len(counts)
+    win_idx = np.minimum.reduceat(idx, g)
+    # every uniq dst has ≥1 in-edge by construction, so kcode[g] covers
+    # 0..len(uniq)-1 densely and the winner array aligns with uniq
+    return kk[win_idx] % base
+
+
+def _fused_label_loop(
+    eng, spark, ckpt, n, max_iters, block_fn, idt, state_col, owned
+):
+    """Local-mode label iteration shared by cc/lpa: kernel tasks read
+    the previous labels from one tmpfs memmap and scatter their
+    per-block new labels straight into the other (dst-partitioned
+    blocks own disjoint slots — writes never race), returning only a
+    per-block changed count. The serial path per iteration is one O(n)
+    memcpy (carry-over for vertices with no in-edges); there is NO
+    per-iteration Arrow collect or driver-side merge — the label-typed
+    twin of ``_pagerank_fused_loop``.
+
+    ``block_fn(pv, uniq, starts, src) -> new_labels`` computes the
+    per-block update from the previous full vector ``pv``.
+    Returns ``(labels, converged)``.
+    """
+    import pyarrow as pa
+
+    paths, mms = [], []
+    for name in ("lab0.i64", "lab1.i64"):
+        p, m = eng.memmap_file(name, dtype="int64")
+        paths.append(p)
+        mms.append(m)
+    mms[0][:] = np.arange(n, dtype="int64")
+    cur = mms[0]
+    converged = False
+    try:
+        for it in range(max_iters):
+            prev, cur = mms[it % 2], mms[(it + 1) % 2]
+            prev_path, cur_path = paths[it % 2], paths[(it + 1) % 2]
+            np.copyto(cur, prev)  # uncovered vertices carry their label
+
+            def step(batches, pp=prev_path, cp=cur_path, fn=block_fn, dt=idt):
+                pv = np.memmap(pp, dtype="int64", mode="r", shape=(n,))
+                out = np.memmap(cp, dtype="int64", mode="r+", shape=(n,))
+                for b in batches:
+                    for i in range(b.num_rows):
+                        uniq = np.frombuffer(
+                            b.column("uniq")[i].as_buffer(), dtype="int64"
+                        )
+                        starts = np.frombuffer(
+                            b.column("starts")[i].as_buffer(), dtype="int64"
+                        )
+                        src = np.frombuffer(
+                            b.column("src")[i].as_buffer(), dtype=dt
+                        )
+                        newv = fn(pv, uniq, starts, src)
+                        out[uniq] = newv
+                        yield pa.RecordBatch.from_arrays(
+                            [pa.array(
+                                [int((newv != pv[uniq]).sum())],
+                                type=pa.int64(),
+                            )],
+                            names=["changed"],
+                        )
+                out.flush()
+
+            tbl = eng.run(step, "changed long")
+            changed = int(sum(tbl.column("changed").to_pylist()))
+            _maybe_durable(
+                ckpt, spark, it + 1, "labels", n, cur, state_col,
+                {"changed": changed, "n": n},
+            )
+            if changed == 0:
+                converged = True
+                break
+        return np.array(cur, dtype="int64"), converged
+    finally:
+        if owned:
+            eng.close()
+        else:
+            for p in paths:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+
+
 def _symmetrized(edges: DataFrame, directed: bool) -> DataFrame:
     e = edges.select("src", "dst")
     if not directed:
@@ -446,6 +552,25 @@ def cc_dense_kernel(
         if owned:
             eng.build()
         idt = eng.idt
+
+        if eng.local_mode:
+            labels, converged = _fused_label_loop(
+                eng, spark, ckpt, n, max_iters,
+                _cc_block_update, idt, "component", owned,
+            )
+            if not converged:
+                import warnings
+
+                warnings.warn(
+                    f"cc_dense_kernel: not converged after {max_iters} "
+                    "iterations — components may be split; raise "
+                    "max_iters (graph diameter bounds the iteration "
+                    "count)",
+                    RuntimeWarning,
+                )
+            return spark.createDataFrame(
+                pd.DataFrame({"id": np.arange(n, dtype="int64"), "component": labels})
+            )
 
         labels = np.arange(n, dtype="int64")
         try:
@@ -544,6 +669,17 @@ def lpa_dense_kernel(
             eng.build()
         idt = eng.idt
         base = n + 1
+
+        if eng.local_mode:
+            from functools import partial
+
+            labels, _ = _fused_label_loop(
+                eng, spark, ckpt, n, max_iters,
+                partial(_lpa_block_update, base=base), idt, "label", owned,
+            )
+            return spark.createDataFrame(
+                pd.DataFrame({"id": np.arange(n, dtype="int64"), "label": labels})
+            )
 
         labels = np.arange(n, dtype="int64")
         try:
