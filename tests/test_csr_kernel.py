@@ -125,3 +125,62 @@ def test_pagerank_csr_matches_oracle_and_join(spark):
     }
     for i in range(11):
         assert got_csr[i] == pytest.approx(got_join[i], abs=1e-9)
+
+
+def test_cluster_collect_loops_match_fused(spark):
+    """Local mode always takes the fused memmap-scatter loops; the
+    cluster-mode broadcast+collect loops must stay equivalent. Force
+    them by flipping ``local_mode`` on a pre-built engine (broadcast
+    transport works in local mode too) and compare exactly."""
+    from pygraphblas_spark.kernels.csr_dense import (
+        _BlockEngine,
+        _symmetrized,
+        cc_dense_kernel,
+        lpa_dense_kernel,
+        pagerank_dense_kernel,
+    )
+    from pygraphblas_spark.plans.checkpoint import iteration_conf
+
+    e = edges_df(spark, PR_I, PR_J).select("src", "dst")
+
+    fused_pr = {
+        r["id"]: r["rank"]
+        for r in pagerank_dense_kernel(e, n=11, tol=1e-10, max_iters=50).collect()
+    }
+    fused_cc = {
+        r["id"]: r["component"] for r in cc_dense_kernel(e, n=11).collect()
+    }
+    fused_lpa = {
+        r["id"]: r["label"] for r in lpa_dense_kernel(e, n=11, max_iters=8).collect()
+    }
+
+    with iteration_conf(spark):
+        eng = _BlockEngine(e, 11, 4).build()
+    eng.local_mode = False  # dispatch + transport now take the cluster path
+    pr = {
+        r["id"]: r["rank"]
+        for r in pagerank_dense_kernel(
+            e, n=11, tol=1e-10, max_iters=50, engine=eng
+        ).collect()
+    }
+    assert pr.keys() == fused_pr.keys()
+    for k in pr:
+        assert pr[k] == pytest.approx(fused_pr[k], abs=1e-12)
+    eng.close()
+
+    with iteration_conf(spark):
+        eng_s = _BlockEngine(_symmetrized(e, False), 11, 4).build()
+    eng_s.local_mode = False
+    cc = {
+        r["id"]: r["component"]
+        for r in cc_dense_kernel(e, n=11, directed=False, engine=eng_s).collect()
+    }
+    lpa = {
+        r["id"]: r["label"]
+        for r in lpa_dense_kernel(
+            e, n=11, max_iters=8, directed=False, engine=eng_s
+        ).collect()
+    }
+    eng_s.close()
+    assert cc == fused_cc
+    assert lpa == fused_lpa
