@@ -12,6 +12,7 @@ semiring identity, never stored) — reference ``README.md:146-170``.
 
 from __future__ import annotations
 
+import os
 from typing import Iterable, Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -284,6 +285,75 @@ class Matrix:
             )
         )
         return cls(df, nrows, ncols, typ)
+
+    @classmethod
+    def ssget(
+        cls,
+        spark: SparkSession,
+        name_or_id,
+        collection_dir: str | None = None,
+        binary_cache_dir: str | None = None,
+        typ: str = "FP64",
+    ):
+        """SuiteSparse Matrix Collection loader (reference matrix.py:596-623).
+
+        The reference resolves ``name_or_id`` through ssgetpy and
+        downloads from sparse.tamu.edu; this engine never touches the
+        network — point ``collection_dir`` (or ``$SSGET_DIR``) at a
+        pre-populated local tree of extracted matrices, either ssgetpy's
+        layout ``<dir>/<Group>/<Name>/<Name>.mtx``, ``<dir>/<Name>/*.mtx``,
+        or flat ``<dir>/<Name>.mtx``. Like the reference, yields
+        ``(filename, Matrix)`` for every ``.mtx`` found, and
+        ``binary_cache_dir`` mirrors the reference's ``.grb`` fast path
+        with a parquet dump + dims sidecar (binread/binwrite).
+        """
+        import glob as _glob
+        import json
+
+        base = collection_dir or os.environ.get("SSGET_DIR")
+        if base is None:
+            raise FileNotFoundError(
+                "ssget: no local SuiteSparse collection configured. This "
+                "engine does not download (reference ssget fetches from "
+                "sparse.tamu.edu); pass collection_dir= or set $SSGET_DIR "
+                "to a directory of extracted .mtx matrices."
+            )
+        name = str(name_or_id)
+        hits: list[str] = []
+        for pat in (
+            os.path.join(base, name, "*.mtx"),  # Group/Name or Name dir
+            os.path.join(base, "*", name, "*.mtx"),  # bare Name under groups
+            os.path.join(base, f"{name}.mtx"),  # flat file
+        ):
+            hits.extend(_glob.glob(pat))
+        if not hits:
+            raise FileNotFoundError(
+                f"ssget: {name_or_id!r} not found under {base} (searched "
+                "Group/Name/*.mtx, */Name/*.mtx, Name.mtx; numeric ids "
+                "must exist as a directory name — there is no downloaded "
+                "index to translate them)"
+            )
+        for m in sorted(set(hits)):
+            fname = os.path.basename(m)
+            cache = (
+                os.path.join(binary_cache_dir, fname + ".parquet")
+                if binary_cache_dir
+                else None
+            )
+            meta = cache + ".meta.json" if cache else None
+            if cache and os.path.exists(meta):
+                with open(meta) as fh:
+                    d = json.load(fh)
+                M = cls.binread(spark, cache, d["nrows"], d["ncols"], d["typ"])
+            else:
+                M = cls.from_mm(spark, m, typ=typ)
+                if cache:
+                    M.binwrite(cache)
+                    with open(meta, "w") as fh:
+                        json.dump(
+                            {"nrows": M.nrows, "ncols": M.ncols, "typ": M.typ}, fh
+                        )
+            yield fname, M
 
     # -- checkpoints (reference binread/binwrite matrix.py:490,935: the
     # SuiteSparse binary dump; ours is parquet, which is also the

@@ -522,3 +522,44 @@ def test_bitwise_and_frexp_ops(spark):
         assert row["tg"] == pytest.approx(math.gamma(row["x"]), rel=1e-12)
         assert row["erf"] == pytest.approx(math.erf(row["x"]), rel=1e-12)
         assert row["erfc"] == pytest.approx(math.erfc(row["x"]), rel=1e-12)
+
+
+def test_ssget_local_collection(spark, tmp_path):
+    """ssget resolves a pre-populated local collection (no network,
+    unlike reference matrix.py:596-623) in both the ssgetpy extract
+    layout and flat layout, and the parquet binary cache round-trips."""
+    from pygraphblas_spark.matrix import Matrix
+
+    mm = "%%MatrixMarket matrix coordinate real general\n3 3 3\n1 2 1.5\n2 3 2.5\n3 1 3.5\n"
+    d = tmp_path / "ss" / "Newman" / "karate"
+    d.mkdir(parents=True)
+    (d / "karate.mtx").write_text(mm)
+    flat = tmp_path / "ss" / "tiny.mtx"
+    flat.write_text(mm)
+
+    got = dict(Matrix.ssget(spark, "Newman/karate", collection_dir=str(tmp_path / "ss")))
+    assert list(got) == ["karate.mtx"]
+    M = got["karate.mtx"]
+    assert M.shape == (3, 3)
+    assert sorted(M.to_lists()[0]) == [0, 1, 2]
+
+    # bare-name and flat resolution
+    assert "karate.mtx" in dict(Matrix.ssget(spark, "karate", collection_dir=str(tmp_path / "ss")))
+    assert "tiny.mtx" in dict(Matrix.ssget(spark, "tiny", collection_dir=str(tmp_path / "ss")))
+
+    # binary cache: second load reads parquet + sidecar, same values
+    cache = str(tmp_path / "cache")
+    import os as _os
+    _os.makedirs(cache, exist_ok=True)
+    first = dict(Matrix.ssget(spark, "Newman/karate", collection_dir=str(tmp_path / "ss"), binary_cache_dir=cache))
+    assert _os.path.exists(_os.path.join(cache, "karate.mtx.parquet.meta.json"))
+    second = dict(Matrix.ssget(spark, "Newman/karate", collection_dir=str(tmp_path / "ss"), binary_cache_dir=cache))
+    a = sorted(zip(*first["karate.mtx"].to_lists()))
+    b = sorted(zip(*second["karate.mtx"].to_lists()))
+    assert a == b
+
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        list(Matrix.ssget(spark, "nope", collection_dir=str(tmp_path / "ss")))
+    with _pytest.raises(FileNotFoundError):
+        list(Matrix.ssget(spark, "anything", collection_dir=None))
