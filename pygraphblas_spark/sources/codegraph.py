@@ -47,6 +47,38 @@ LANGS = list(IMPORT_PATTERNS)
 EXT = {"python": "py", "javascript": "js", "go": "go"}
 
 
+SOURCE_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+
+def load_source_table(spark: SparkSession, source: str) -> DataFrame:
+    """Load the ``(repo, path, commit, lang, content)`` source table.
+
+    Production input (input_hint) is an Iceberg table: a catalog name
+    like ``lake.code.files`` is read with ``spark.table`` through
+    Spark's Iceberg integration — snapshot-consistent scans, partition
+    pruning, and metadata-only planning come from the catalog; the
+    engine itself stays storage-agnostic DataFrame code. A filesystem
+    path (contains a separator or exists locally) falls back to parquet,
+    which is the sandbox test layout. The hint schema is validated
+    either way so downstream edge extraction fails fast, and only the
+    hint columns are selected so catalog tables with extra columns
+    still prune to the needed scan.
+    """
+    import os as _os
+
+    if _os.path.sep in source or _os.path.exists(source):
+        df = spark.read.parquet(source)
+    else:
+        df = spark.table(source)
+    missing = [c for c in SOURCE_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"source table {source!r} is missing required columns "
+            f"{missing}; expected {list(SOURCE_COLUMNS)} (input_hint)"
+        )
+    return df.select(*SOURCE_COLUMNS)
+
+
 def synthesize_source_table(
     spark: SparkSession,
     n_files: int,

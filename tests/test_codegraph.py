@@ -107,3 +107,30 @@ def test_end_to_end_pagerank_on_codegraph(spark, source):
     # rank mass ≤ 1 (dangling leak) and > teleport floor
     assert 0.15 < total <= 1.0 + 1e-9
     assert r.count() == n
+
+
+def test_load_source_table_paths_and_catalog(spark, tmp_path):
+    """load_source_table reads a parquet path or a catalog table name
+    (Iceberg in production; a temp view stands in here) and validates
+    the input_hint schema."""
+    import pytest
+
+    from pygraphblas_spark.sources.codegraph import (
+        load_source_table,
+        synthesize_source_table,
+    )
+
+    src = synthesize_source_table(spark, 200, seed=42)
+    p = str(tmp_path / "src")
+    src.write.mode("overwrite").parquet(p)
+    assert load_source_table(spark, p).count() == 200
+
+    src.createOrReplaceTempView("code_files_t")
+    t = load_source_table(spark, "code_files_t")
+    assert t.columns == ["repo", "path", "commit", "lang", "content"]
+    assert t.count() == 200
+
+    bad = str(tmp_path / "bad")
+    src.drop("content").write.mode("overwrite").parquet(bad)
+    with pytest.raises(ValueError, match="missing required columns"):
+        load_source_table(spark, bad)
