@@ -785,6 +785,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", F.round("rank", 9).alias("rank")
         )
 
+    def complex_mxm(spark, sf):
+        # FC64 complex mxm (reference types.py:326-345 FC64; the *_FC op
+        # family in algebra.py): A[order%997, part%199] = Σqty + i·Σline,
+        # C = AᵀA under PLUS_TIMES_FC. Values stay integral (qty and
+        # linenumber are whole numbers), so every complex product/sum is
+        # exact in double and casts back to BIGINT for the hash compare;
+        # the DuckDB oracle is the (re,im) expansion of the same matmul.
+        from pygraphblas_spark.matrix import Matrix
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        e = li.groupBy(
+            (F.col("l_orderkey") % 997).alias("src"),
+            (F.col("l_partkey") % 199).alias("dst"),
+        ).agg(
+            F.struct(
+                F.sum(F.col("l_quantity").cast("long")).cast("double").alias("re"),
+                F.sum(F.col("l_linenumber").cast("long")).cast("double").alias("im"),
+            ).alias("val")
+        )
+        m = Matrix.from_edge_df(e, 1 << 40, 1 << 40, "FC64")
+        c = m.mxm(m, semiring="PLUS_TIMES", desc=descriptor.T0)
+        return c.df.select(
+            F.col("src").alias("p1"),
+            F.col("dst").alias("p2"),
+            F.col("val").getField("re").cast("long").alias("c_re"),
+            F.col("val").getField("im").cast("long").alias("c_im"),
+        )
+
     return {
         "out_degree": out_degree,
         "in_degree": in_degree,
@@ -818,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": media_meta,
         "gini": gini_q,
         "ktruss": ktruss_q,
+        "complex_mxm": complex_mxm,
     }
 
 
@@ -947,6 +976,21 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_4src": _betweenness_oracle(n_sources=4, max_levels=40),
         "gini": _gini_oracle(),
         "ktruss": _ktruss_oracle(k=3, rounds=3),
+        "complex_mxm": (
+            # (re,im) expansion of the FC64 AᵀA: C[p1,p2] = Σ_k A[k,p1]·A[k,p2]
+            # with complex product (ar·br − ai·bi, ar·bi + ai·br)
+            "WITH e AS ( "
+            "  SELECT l_orderkey % 997 AS src, l_partkey % 199 AS dst, "
+            "         CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS re, "
+            "         CAST(SUM(CAST(l_linenumber AS BIGINT)) AS DOUBLE) AS im "
+            "  FROM lineitem GROUP BY 1, 2 "
+            ") "
+            "SELECT a.dst AS p1, b.dst AS p2, "
+            "       CAST(SUM(a.re * b.re - a.im * b.im) AS BIGINT) AS c_re, "
+            "       CAST(SUM(a.re * b.im + a.im * b.re) AS BIGINT) AS c_im "
+            "FROM e a JOIN e b ON a.src = b.src "
+            "GROUP BY 1, 2"
+        ),
         "media_meta": (
             # closed-form generative-model oracle for the REAL PNG/WAV
             # header parse (multimodal.synthesize_media_table semantics:

@@ -536,3 +536,188 @@ SELECT_SYMBOLS = {
     "!=0": "NONZERO",
     "==0": "EQ_ZERO",
 }
+
+
+# --------------------------------------------------------------------------
+# Complex (FC32/FC64) op family  (reference types.py:326-345; SuiteSparse
+# GxB complex ops). Values are struct<re, im> columns (gbtypes), so every
+# op here is still a pure JVM column expression — no UDFs. Ops register
+# under "<NAME>_FC" and the typed_* resolvers below dispatch plain names
+# ("PLUS", "TIMES", ...) to them when the operand type is complex.
+# --------------------------------------------------------------------------
+
+
+def _re(c: Column) -> Column:
+    return c.getField("re")
+
+
+def _im(c: Column) -> Column:
+    return c.getField("im")
+
+
+def _fc(re: Column, im: Column) -> Column:
+    return F.struct(re.alias("re"), im.alias("im"))
+
+
+_FC_BINARY: dict[str, BinaryOp] = {}
+
+
+def _fc_binop(plain: str, fn) -> BinaryOp:
+    op = binary_op(plain + "_FC", fn)
+    _FC_BINARY[plain] = op
+    return op
+
+
+def _fc_div(a: Column, b: Column) -> Column:
+    d = _re(b) * _re(b) + _im(b) * _im(b)
+    return _fc(
+        (_re(a) * _re(b) + _im(a) * _im(b)) / d,
+        (_im(a) * _re(b) - _re(a) * _im(b)) / d,
+    )
+
+
+_fc_binop("PLUS", lambda a, b: _fc(_re(a) + _re(b), _im(a) + _im(b)))
+_fc_binop("MINUS", lambda a, b: _fc(_re(a) - _re(b), _im(a) - _im(b)))
+_fc_binop("RMINUS", lambda a, b: _fc(_re(b) - _re(a), _im(b) - _im(a)))
+_fc_binop(
+    "TIMES",
+    lambda a, b: _fc(
+        _re(a) * _re(b) - _im(a) * _im(b), _re(a) * _im(b) + _im(a) * _re(b)
+    ),
+)
+_fc_binop("DIV", _fc_div)
+_fc_binop("RDIV", lambda a, b: _fc_div(b, a))
+_fc_binop("FIRST", lambda a, b: a)
+_fc_binop("SECOND", lambda a, b: b)
+_fc_binop("ANY", lambda a, b: a)
+# PAIR = 1+0i; built from the operand so the struct keeps the operand's
+# field width (a double literal inside an FC32 matrix would change the
+# value schema mid-plan)
+_fc_binop("PAIR", lambda a, b: _fc(_re(a) * 0 + 1, _im(a) * 0))
+
+_FC_UNARY: dict[str, UnaryOp] = {}
+
+
+def _fc_unop(plain: str, fn, out_typ: str | None = None) -> UnaryOp:
+    op = unary_op(plain + "_FC", fn)
+    if out_typ is not None:
+        # frozen dataclass: annotate the result type out-of-band; apply()
+        # consults getattr(op, "out_typ", None) to retype the output
+        object.__setattr__(op, "out_typ", out_typ)
+    _FC_UNARY[plain] = op
+    return op
+
+
+_fc_unop("IDENTITY", lambda c: c)
+_fc_unop("AINV", lambda c: _fc(-_re(c), -_im(c)))
+_fc_unop(
+    "MINV",
+    lambda c: _fc(
+        _re(c) / (_re(c) * _re(c) + _im(c) * _im(c)),
+        -_im(c) / (_re(c) * _re(c) + _im(c) * _im(c)),
+    ),
+)
+_fc_unop("ONE", lambda c: _fc(_re(c) * 0 + 1, _im(c) * 0))
+_fc_unop("CONJ", lambda c: _fc(_re(c), -_im(c)))
+# real-valued projections (reference GxB_CREAL/CIMAG/CARG/ABS → FP)
+_fc_unop("CREAL", _re, out_typ="FP64")
+_fc_unop("CIMAG", _im, out_typ="FP64")
+_fc_unop("CARG", lambda c: F.atan2(_im(c), _re(c)), out_typ="FP64")
+_fc_unop(
+    "ABS", lambda c: F.sqrt(_re(c) * _re(c) + _im(c) * _im(c)), out_typ="FP64"
+)
+# plain-name aliases for the inherently-complex ops (the reference
+# exposes CONJ/CREAL/CIMAG/CARG only for FC types)
+for _n in ("CONJ", "CREAL", "CIMAG", "CARG"):
+    _UNARY[_n] = _FC_UNARY[_n]
+
+_FC_MONOID: dict[str, Monoid] = {}
+_FC_MONOID["PLUS"] = monoid(
+    "PLUS_FC",
+    lambda c: F.struct(F.sum(_re(c)).alias("re"), F.sum(_im(c)).alias("im")),
+    complex(0),
+    _FC_BINARY["PLUS"],
+)
+_FC_MONOID["ANY"] = monoid("ANY_FC", F.first, None, _FC_BINARY["ANY"])
+
+_FC_SEMIRING: dict[str, Semiring] = {}
+for _add, _mul in (
+    ("PLUS", "TIMES"),
+    ("PLUS", "FIRST"),
+    ("PLUS", "SECOND"),
+    ("PLUS", "PAIR"),
+    ("ANY", "FIRST"),
+    ("ANY", "SECOND"),
+    ("ANY", "PAIR"),
+):
+    _FC_SEMIRING[f"{_add}_{_mul}"] = semiring(
+        f"{_add}_{_mul}_FC", _FC_MONOID[_add], _FC_BINARY[_mul]
+    )
+
+
+def typed_binary_op(op, typ: str) -> BinaryOp:
+    """Resolve a binary op for a value type: complex operands dispatch
+    plain names to the ``*_FC`` family (the reference types each op per
+    scalar type; our registry is name-keyed, so FC dispatch happens at
+    resolution time). Unsupported names raise with the FC inventory."""
+    if not isinstance(op, str):
+        return op
+    key = op.upper()
+    if typ.upper() in ("FC32", "FC64"):
+        if key.endswith("_FC"):
+            key = key[:-3]
+        if key not in _FC_BINARY:
+            raise NotImplementedError(
+                f"binary op {op!r} is not defined for complex {typ}; "
+                f"available: {sorted(_FC_BINARY)}"
+            )
+        return _FC_BINARY[key]
+    return binary_op(op)
+
+
+def typed_unary_op(op, typ: str) -> UnaryOp:
+    if not isinstance(op, str):
+        return op
+    key = op.upper()
+    if typ.upper() in ("FC32", "FC64"):
+        if key.endswith("_FC"):
+            key = key[:-3]
+        if key not in _FC_UNARY:
+            raise NotImplementedError(
+                f"unary op {op!r} is not defined for complex {typ}; "
+                f"available: {sorted(_FC_UNARY)}"
+            )
+        return _FC_UNARY[key]
+    return unary_op(op)
+
+
+def typed_monoid(m, typ: str) -> Monoid:
+    if not isinstance(m, str):
+        return m
+    key = m.upper()
+    if typ.upper() in ("FC32", "FC64"):
+        if key.endswith("_FC"):
+            key = key[:-3]
+        if key not in _FC_MONOID:
+            raise NotImplementedError(
+                f"monoid {m!r} is not defined for complex {typ}; "
+                f"available: {sorted(_FC_MONOID)}"
+            )
+        return _FC_MONOID[key]
+    return monoid(m)
+
+
+def typed_semiring(s, typ: str) -> Semiring:
+    if not isinstance(s, str):
+        return s
+    key = s.upper()
+    if typ.upper() in ("FC32", "FC64"):
+        if key.endswith("_FC"):
+            key = key[:-3]
+        if key not in _FC_SEMIRING:
+            raise NotImplementedError(
+                f"semiring {s!r} is not defined for complex {typ}; "
+                f"available: {sorted(_FC_SEMIRING)}"
+            )
+        return _FC_SEMIRING[key]
+    return semiring(s)

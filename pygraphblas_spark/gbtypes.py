@@ -8,12 +8,16 @@ promoting to the other operand's type (``types.py:491-494``).
 Spark has no unsigned ints: unsigned types widen to the next signed width
 (UINT64 → LongType with a documented overflow caveat — vertex ids are
 ``GrB_Index`` = uint64 in the reference but never exceed 2^60, which fits
-signed 64-bit). Complex types (FC32/FC64) are out of scope for the
-link-graph target.
+signed 64-bit). Complex types (FC32/FC64, reference types.py:326-345)
+have no Spark scalar either: they are stored as ``struct<re, im>`` value
+columns with a dedicated op family (algebra ``*_FC`` ops) — still pure
+JVM column expressions, no UDFs.
 """
 
 from __future__ import annotations
 
+from pyspark.sql import Column
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # name -> (Spark type, promotion rank, default zero, default one)
@@ -29,7 +33,77 @@ GB_TYPES: dict[str, tuple[T.DataType, int, object, object]] = {
     "INT64": (T.LongType(), 8, 0, 1),
     "FP32": (T.FloatType(), 9, 0.0, 1.0),
     "FP64": (T.DoubleType(), 10, 0.0, 1.0),
+    "FC32": (
+        T.StructType(
+            [T.StructField("re", T.FloatType()), T.StructField("im", T.FloatType())]
+        ),
+        11,
+        complex(0),
+        complex(1),
+    ),
+    "FC64": (
+        T.StructType(
+            [T.StructField("re", T.DoubleType()), T.StructField("im", T.DoubleType())]
+        ),
+        12,
+        complex(0),
+        complex(1),
+    ),
 }
+
+
+def is_complex(name: str) -> bool:
+    return name.upper() in ("FC32", "FC64")
+
+
+def _fc_field(name: str) -> str:
+    return "float" if name.upper() == "FC32" else "double"
+
+
+def to_storage(v, name: str):
+    """Python value → row value for createDataFrame (complex → (re, im))."""
+    if is_complex(name):
+        v = complex(v)
+        return (float(v.real), float(v.imag))
+    return v
+
+
+def from_storage(v, name: str):
+    """Row value → Python value for to_lists/collect (struct → complex)."""
+    if is_complex(name) and v is not None:
+        return complex(v["re"], v["im"])
+    return v
+
+
+def lit_expr(v, name: str) -> Column:
+    """Literal column of a gb type — complex builds the struct directly
+    (``F.lit(complex)`` has no Spark literal form)."""
+    if is_complex(name):
+        v = complex(v)
+        ft = _fc_field(name)
+        return F.struct(
+            F.lit(float(v.real)).cast(ft).alias("re"),
+            F.lit(float(v.imag)).cast(ft).alias("im"),
+        )
+    return F.lit(v).cast(spark_type(name))
+
+
+def cast_expr(col: Column, from_typ: str, to_typ: str) -> Column:
+    """Cast a value column between gb types, including the real → complex
+    widening (x → x + 0i) that plain ``Column.cast`` cannot express."""
+    if is_complex(to_typ):
+        ft = _fc_field(to_typ)
+        if is_complex(from_typ):
+            return F.struct(
+                col.getField("re").cast(ft).alias("re"),
+                col.getField("im").cast(ft).alias("im"),
+            )
+        return F.struct(
+            col.cast(ft).alias("re"), F.lit(0.0).cast(ft).alias("im")
+        )
+    if is_complex(from_typ):
+        raise TypeError(f"cannot cast complex {from_typ} to real {to_typ}")
+    return col.cast(spark_type(to_typ))
 
 
 def spark_type(name: str) -> T.DataType:
@@ -49,6 +123,14 @@ def promote(a: str, b: str) -> str:
         return b
     if b == "BOOL":
         return a
+    if is_complex(a) != is_complex(b):
+        # real × complex promotes to complex, keeping the wider width —
+        # FP64 × FC32 must not narrow the real part to float32
+        real = a if not is_complex(a) else b
+        fc = b if is_complex(b) else a
+        if fc == "FC32" and real in ("FP64", "INT64", "UINT64", "INT32", "UINT32"):
+            return "FC64"
+        return fc
     return a if GB_TYPES[a][1] >= GB_TYPES[b][1] else b
 
 
@@ -68,4 +150,6 @@ def from_python_value(v) -> str:
         return "INT64"
     if isinstance(v, float):
         return "FP64"
+    if isinstance(v, complex):
+        return "FC64"
     raise TypeError(f"cannot infer GraphBLAS type for {type(v)}")

@@ -38,8 +38,33 @@ VAL = core.VAL
 EDGE_SCHEMA_KEYS = ["src", "dst"]
 
 
-def _coerce_binop(op) -> BinaryOp:
+def _coerce_binop(op, typ: str = None) -> BinaryOp:
+    if typ is not None and isinstance(op, str):
+        from pygraphblas_spark.algebra import typed_binary_op
+
+        return typed_binary_op(op, typ)
     return binary_op(op) if isinstance(op, str) else op
+
+
+def _widened_pair(a: "Matrix", b: "Matrix"):
+    """(a.df, b.df) with value columns cast to the promoted type when it
+    is complex — the real → complex widening (x → x+0i) that Spark's
+    implicit coalesce unification cannot do on struct columns. Real
+    promotions keep relying on Spark's implicit numeric unification."""
+    ptyp = gbtypes.promote(a.typ, b.typ)
+    if not gbtypes.is_complex(ptyp):
+        return a.df, b.df
+    da = (
+        a.df
+        if a.typ == ptyp
+        else a.df.withColumn(VAL, gbtypes.cast_expr(F.col(VAL), a.typ, ptyp))
+    )
+    db = (
+        b.df
+        if b.typ == ptyp
+        else b.df.withColumn(VAL, gbtypes.cast_expr(F.col(VAL), b.typ, ptyp))
+    )
+    return da, db
 
 
 def _coerce_monoid(m) -> Monoid:
@@ -55,9 +80,16 @@ def _promote_inputs(a, b):
     the join (reference types.promote, types.py:484-500) — e.g. a BOOL
     pattern matrix times an FP64 vector multiplies as FP64."""
     ptyp = gbtypes.promote(a.typ, b.typ)
-    st = gbtypes.spark_type(ptyp)
-    a_df = a.df if a.typ == ptyp else a.df.withColumn(VAL, F.col(VAL).cast(st))
-    b_df = b.df if b.typ == ptyp else b.df.withColumn(VAL, F.col(VAL).cast(st))
+    a_df = (
+        a.df
+        if a.typ == ptyp
+        else a.df.withColumn(VAL, gbtypes.cast_expr(F.col(VAL), a.typ, ptyp))
+    )
+    b_df = (
+        b.df
+        if b.typ == ptyp
+        else b.df.withColumn(VAL, gbtypes.cast_expr(F.col(VAL), b.typ, ptyp))
+    )
     return a_df, b_df
 
 
@@ -102,11 +134,7 @@ class Matrix:
             spark.range(nrows)
             .select(F.col("id").alias("src"))
             .crossJoin(spark.range(ncols).select(F.col("id").alias("dst")))
-            .select(
-                "src",
-                "dst",
-                F.lit(fill).cast(gbtypes.spark_type(typ)).alias(VAL),
-            )
+            .select("src", "dst", gbtypes.lit_expr(fill, typ).alias(VAL))
         )
         return cls(df, nrows, ncols, typ)
 
@@ -135,12 +163,15 @@ class Matrix:
         in a loop (matrix.py:329-331), so later writes win; we replicate
         with a positional last-write dedup.
         """
-        if isinstance(V, (bool, int, float)):
+        if isinstance(V, (bool, int, float, complex)):
             V = [V] * len(I)
         typ = typ or gbtypes.from_python_value(V[0] if V else True)
         nrows = nrows if nrows is not None else (max(I) + 1 if I else 0)
         ncols = ncols if ncols is not None else (max(J) + 1 if J else 0)
-        rows = [(int(i), int(j), v, pos) for pos, (i, j, v) in enumerate(zip(I, J, V))]
+        rows = [
+            (int(i), int(j), gbtypes.to_storage(v, typ), pos)
+            for pos, (i, j, v) in enumerate(zip(I, J, V))
+        ]
         schema = T.StructType(
             [
                 T.StructField("src", T.LongType()),
@@ -447,26 +478,40 @@ class Matrix:
     ) -> "Matrix":
         """Unary op on every stored value (reference matrix.py:1934) —
         pure projection, no shuffle."""
-        from pygraphblas_spark.algebra import unary_op
+        from pygraphblas_spark.algebra import typed_unary_op
 
-        op = unary_op(op) if isinstance(op, str) else op
+        op = typed_unary_op(op, self.typ)
         if op.positional:
             val = op(F.col(VAL), F.col("src"), F.col("dst"))
         else:
             val = op(F.col(VAL))
         new = self.df.select("src", "dst", val.alias(VAL))
-        return self._finalized(new, out, mask, accum, desc)
+        res = self._finalized(new, out, mask, accum, desc)
+        out_typ = getattr(op, "out_typ", None)
+        if out_typ is not None:
+            res.typ = out_typ  # e.g. complex ABS/CREAL project to FP64
+        return res
 
     def apply_first(self, scalar, op: Union[BinaryOp, str], **kw) -> "Matrix":
         """Binary op with scalar bound on the left (reference matrix.py:1965)."""
-        op = _coerce_binop(op)
-        new = self.df.select("src", "dst", op(F.lit(scalar), F.col(VAL)).alias(VAL))
+        op = _coerce_binop(op, self.typ)
+        lit = (
+            gbtypes.lit_expr(scalar, self.typ)
+            if gbtypes.is_complex(self.typ)
+            else F.lit(scalar)
+        )
+        new = self.df.select("src", "dst", op(lit, F.col(VAL)).alias(VAL))
         return self._finalized(new, kw.get("out"), kw.get("mask"), kw.get("accum"), kw.get("desc", NULL))
 
     def apply_second(self, op: Union[BinaryOp, str], scalar, **kw) -> "Matrix":
         """Binary op with scalar bound on the right (reference matrix.py:2007)."""
-        op = _coerce_binop(op)
-        new = self.df.select("src", "dst", op(F.col(VAL), F.lit(scalar)).alias(VAL))
+        op = _coerce_binop(op, self.typ)
+        lit = (
+            gbtypes.lit_expr(scalar, self.typ)
+            if gbtypes.is_complex(self.typ)
+            else F.lit(scalar)
+        )
+        new = self.df.select("src", "dst", op(F.col(VAL), lit).alias(VAL))
         return self._finalized(new, kw.get("out"), kw.get("mask"), kw.get("accum"), kw.get("desc", NULL))
 
     # ------------------------------------------------------------------
@@ -484,14 +529,17 @@ class Matrix:
     ) -> "Matrix":
         """Set-union element-wise op (reference matrix.py:1103)."""
         desc = resolve(desc)
-        a, b = self.df, other.df
+        ptyp = gbtypes.promote(self.typ, other.typ)
+        a, b = _widened_pair(self, other)
         if desc.transpose0:
             a = contraction._oriented(a, True)
         if desc.transpose1:
             b = contraction._oriented(b, True)
-        new = core.ewise_add(a, b, EDGE_SCHEMA_KEYS, _coerce_binop(add_op))
+        new = core.ewise_add(
+            a, b, EDGE_SCHEMA_KEYS, _coerce_binop(add_op, ptyp)
+        )
         res = self._finalized(new, out, mask, accum, desc)
-        res.typ = gbtypes.promote(self.typ, other.typ)
+        res.typ = ptyp
         return res
 
     union = eadd  # reference alias matrix.py:1264
@@ -507,14 +555,17 @@ class Matrix:
     ) -> "Matrix":
         """Set-intersection element-wise op (reference matrix.py:1266)."""
         desc = resolve(desc)
-        a, b = self.df, other.df
+        ptyp = gbtypes.promote(self.typ, other.typ)
+        a, b = _widened_pair(self, other)
         if desc.transpose0:
             a = contraction._oriented(a, True)
         if desc.transpose1:
             b = contraction._oriented(b, True)
-        new = core.ewise_mult(a, b, EDGE_SCHEMA_KEYS, _coerce_binop(mult_op))
+        new = core.ewise_mult(
+            a, b, EDGE_SCHEMA_KEYS, _coerce_binop(mult_op, ptyp)
+        )
         res = self._finalized(new, out, mask, accum, desc)
-        res.typ = gbtypes.promote(self.typ, other.typ)
+        res.typ = ptyp
         return res
 
     intersection = emult  # reference alias matrix.py:1415
@@ -709,9 +760,11 @@ class Matrix:
     def reduce(self, mon: Union[Monoid, str] = "PLUS"):
         """Full reduce to a Python scalar — an action (reference
         matrix.py:1828). Spark gives partial (map-side) + final agg."""
-        mon = _coerce_monoid(mon)
+        from pygraphblas_spark.algebra import typed_monoid
+
+        mon = typed_monoid(mon, self.typ)
         row = self.df.agg(mon(F.col(VAL)).alias("__r")).first()
-        return row["__r"]
+        return gbtypes.from_storage(row["__r"], self.typ)
 
     def reduce_bool(self) -> bool:
         return bool(self.reduce("LOR"))
@@ -1228,7 +1281,7 @@ class Matrix:
         return [
             [r["src"] for r in rows],
             [r["dst"] for r in rows],
-            [r[VAL] for r in rows],
+            [gbtypes.from_storage(r[VAL], self.typ) for r in rows],
         ]
 
     def to_arrays(self):
@@ -1381,6 +1434,12 @@ class Matrix:
         → type default (reference matrix.py:2553-2568; defaults
         types.py:149-158, BOOL→LOR_LAND types.py:190-200)."""
         if sr is not None:
+            if isinstance(sr, str):
+                t = gbtypes.promote(self.typ, other.typ)
+                if gbtypes.is_complex(t):
+                    from pygraphblas_spark.algebra import typed_semiring
+
+                    return typed_semiring(sr, t)
             return _coerce_semiring(sr)
         from pygraphblas_spark.algebra import current_semiring
 
@@ -1388,6 +1447,10 @@ class Matrix:
         if ctx is not None:
             return ctx
         t = gbtypes.promote(self.typ, other.typ)
+        if gbtypes.is_complex(t):
+            from pygraphblas_spark.algebra import typed_semiring
+
+            return typed_semiring("PLUS_TIMES", t)
         return semiring("LOR_LAND" if t == "BOOL" else "PLUS_TIMES")
 
 

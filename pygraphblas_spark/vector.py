@@ -31,8 +31,30 @@ VAL = core.VAL
 KEYS = ["id"]
 
 
-def _coerce_binop(op):
+def _coerce_binop(op, typ: str = None):
+    if typ is not None and isinstance(op, str):
+        from pygraphblas_spark.algebra import typed_binary_op
+
+        return typed_binary_op(op, typ)
     return binary_op(op) if isinstance(op, str) else op
+
+
+def _widened_dfs(a: "Vector", b: "Vector", ptyp: str):
+    """Cast both value columns to ``ptyp`` when it is complex (real →
+    complex widening x → x+0i; struct columns don't unify implicitly)."""
+    if not gbtypes.is_complex(ptyp):
+        return a.df, b.df
+    da = (
+        a.df
+        if a.typ == ptyp
+        else a.df.withColumn(VAL, gbtypes.cast_expr(F.col(VAL), a.typ, ptyp))
+    )
+    db = (
+        b.df
+        if b.typ == ptyp
+        else b.df.withColumn(VAL, gbtypes.cast_expr(F.col(VAL), b.typ, ptyp))
+    )
+    return da, db
 
 
 def _coerce_monoid(m):
@@ -83,11 +105,14 @@ class Vector:
     ) -> "Vector":
         """Last-write-wins on duplicate ids, like the reference's
         per-element construction loop (vector.py:331)."""
-        if isinstance(V, (bool, int, float)):
+        if isinstance(V, (bool, int, float, complex)):
             V = [V] * len(I)
         typ = typ or gbtypes.from_python_value(V[0] if V else True)
         size = size if size is not None else (max(I) + 1 if I else 0)
-        rows = [(int(i), v, p) for p, (i, v) in enumerate(zip(I, V))]
+        rows = [
+            (int(i), gbtypes.to_storage(v, typ), p)
+            for p, (i, v) in enumerate(zip(I, V))
+        ]
         schema = T.StructType(
             [
                 T.StructField("id", T.LongType()),
@@ -180,9 +205,15 @@ class Vector:
     # -- apply (reference vector.py:1262-1352) --
 
     def apply(self, op: Union[UnaryOp, str], **kw) -> "Vector":
-        op = unary_op(op) if isinstance(op, str) else op
+        from pygraphblas_spark.algebra import typed_unary_op
+
+        op = typed_unary_op(op, self.typ)
         new = self.df.select("id", op(F.col(VAL)).alias(VAL))
-        return self._finalized(new, kw.get("out"), kw.get("mask"), kw.get("accum"), kw.get("desc", NULL))
+        res = self._finalized(new, kw.get("out"), kw.get("mask"), kw.get("accum"), kw.get("desc", NULL))
+        out_typ = getattr(op, "out_typ", None)
+        if out_typ is not None:
+            res.typ = out_typ  # e.g. complex ABS/CREAL project to FP64
+        return res
 
     def apply_first(self, scalar, op, **kw) -> "Vector":
         op = _coerce_binop(op)
@@ -210,9 +241,11 @@ class Vector:
         accum=None,
         desc: Descriptor = NULL,
     ) -> "Vector":
-        new = core.ewise_add(self.df, other.df, KEYS, _coerce_binop(add_op))
+        ptyp = gbtypes.promote(self.typ, other.typ)
+        a, b = _widened_dfs(self, other, ptyp)
+        new = core.ewise_add(a, b, KEYS, _coerce_binop(add_op, ptyp))
         res = self._finalized(new, out, mask, accum, desc)
-        res.typ = gbtypes.promote(self.typ, other.typ)
+        res.typ = ptyp
         return res
 
     union = eadd
@@ -226,9 +259,11 @@ class Vector:
         accum=None,
         desc: Descriptor = NULL,
     ) -> "Vector":
-        new = core.ewise_mult(self.df, other.df, KEYS, _coerce_binop(mult_op))
+        ptyp = gbtypes.promote(self.typ, other.typ)
+        a, b = _widened_dfs(self, other, ptyp)
+        new = core.ewise_mult(a, b, KEYS, _coerce_binop(mult_op, ptyp))
         res = self._finalized(new, out, mask, accum, desc)
-        res.typ = gbtypes.promote(self.typ, other.typ)
+        res.typ = ptyp
         return res
 
     intersection = emult
@@ -310,9 +345,11 @@ class Vector:
     # -- reduce (reference vector.py:1101-1260) --
 
     def reduce(self, mon: Union[Monoid, str] = "PLUS"):
-        mon = _coerce_monoid(mon)
+        from pygraphblas_spark.algebra import typed_monoid
+
+        mon = typed_monoid(mon, self.typ)
         row = self.df.agg(mon(F.col(VAL)).alias("__r")).first()
-        return row["__r"]
+        return gbtypes.from_storage(row["__r"], self.typ)
 
     def reduce_bool(self) -> bool:
         return bool(self.reduce("LOR"))
@@ -648,7 +685,10 @@ class Vector:
 
     def to_lists(self) -> list[list]:
         rows = self.df.orderBy("id").collect()
-        return [[r["id"] for r in rows], [r[VAL] for r in rows]]
+        return [
+            [r["id"] for r in rows],
+            [gbtypes.from_storage(r[VAL], self.typ) for r in rows],
+        ]
 
     def to_arrays(self):
         pdf = self.df.orderBy("id").toPandas()
