@@ -55,6 +55,19 @@ from pyspark.sql import functions as F
 #: dense n-vectors).
 DENSE_KERNEL_MAX_ROWS = 10_000_000
 
+#: in local mode, graphs at or below this many edges iterate IN-CORE on
+#: the driver (one Arrow pull of the edge list, then pure numpy rounds —
+#: zero Spark jobs per iteration). Rationale: a local-mode job carries a
+#: ~0.1-0.5 s scheduling + Python-worker round-trip floor per iteration;
+#: a single core streams ``np.add.reduceat`` gather-scatter at ~10^8
+#: edges/s, so below ~10^7 edges the cluster machinery is pure overhead
+#: (measured: 36-iteration PageRank on 2.6M edges = 19.3 s fused vs
+#: <2 s in-core). Above the threshold the fused memmap loop (local) /
+#: broadcast-collect loop (cluster) take over — same math, same
+#: checkpoint records, results equal to 1e-12 (fp sum order) / exactly
+#: (integer label updates).
+INCORE_MAX_NNZ = int(os.environ.get("PGB_INCORE_MAX_NNZ", "16000000"))
+
 
 def _build_blocks(e: DataFrame, narrow: bool):
     """Compress dst-partitioned, dst-sorted edges into per-partition CSR
@@ -211,6 +224,65 @@ def _maybe_durable(ckpt, spark, iteration: int, name: str, n: int, vals, col, me
         ckpt.record(iteration, metrics)
 
 
+def _incore_arrays(edges: DataFrame):
+    """One Arrow pull of (src, dst) → the same (uniq, starts, src) CSR
+    arrays a single dst-block would hold, built driver-side. Feeds the
+    in-core iteration tier (``INCORE_MAX_NNZ``)."""
+    tbl = edges.select("src", "dst").toArrow()
+    src = np.asarray(tbl.column("src").to_numpy(zero_copy_only=False), dtype="int64")
+    dst = np.asarray(tbl.column("dst").to_numpy(zero_copy_only=False), dtype="int64")
+    if len(dst) == 0:
+        z = np.zeros(0, dtype="int64")
+        return z, z, z
+    order = np.argsort(dst, kind="stable")
+    src, dst = src[order], dst[order]
+    starts = np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]]).astype("int64")
+    return dst[starts], starts, src
+
+
+def _pagerank_incore_loop(
+    spark, ckpt, n, uniq, starts, src, inv_d, teleport, tol, max_iters
+) -> np.ndarray:
+    """Driver in-core rounds — identical update to the fused loop
+    (teleport prefill + ``np.add.reduceat`` per dst segment), zero Spark
+    jobs per iteration."""
+    rank = np.full(n, 1.0 / n, dtype="float64")
+    for it in range(max_iters):
+        y = np.full(n, teleport, dtype="float64")
+        if len(src):
+            y[uniq] = teleport + np.add.reduceat(rank[src] * inv_d[src], starts)
+        rdiff = float(np.abs(y - rank).sum())
+        rank = y
+        _maybe_durable(
+            ckpt, spark, it + 1, "rank", n, rank, "rank", {"rdiff": rdiff, "n": n}
+        )
+        if rdiff <= tol:
+            break
+    return rank
+
+
+def _label_incore_loop(spark, ckpt, n, uniq, starts, src, max_iters, block_fn, state_col):
+    """Driver in-core label rounds (cc/lpa) — ``block_fn`` is the same
+    per-block update the distributed loops run; here the single 'block'
+    spans every dst. Returns (labels, converged)."""
+    labels = np.arange(n, dtype="int64")
+    converged = False
+    for it in range(max_iters):
+        new = labels.copy()  # uncovered vertices carry their label
+        if len(src):
+            new[uniq] = block_fn(labels, uniq, starts, src)
+        changed = int((new != labels).sum())
+        labels = new
+        _maybe_durable(
+            ckpt, spark, it + 1, "labels", n, labels, state_col,
+            {"changed": changed, "n": n},
+        )
+        if changed == 0:
+            converged = True
+            break
+    return labels, converged
+
+
 def pagerank_dense_kernel(
     edges: DataFrame,
     n: int | None = None,
@@ -248,6 +320,23 @@ def pagerank_dense_kernel(
                 e_src.unpersist()
             return spark.createDataFrame([], "id long, rank double")
 
+        teleport = (1.0 - damping) / n
+        if owned and eng.local_mode and e_src.count() <= INCORE_MAX_NNZ:
+            # in-core tier: one Arrow pull, then numpy-only rounds — a
+            # local-mode Spark job costs more than a full small-graph
+            # iteration (see INCORE_MAX_NNZ)
+            uniq, starts, srcs = _incore_arrays(e_src)
+            e_src.unpersist()
+            deg = np.bincount(srcs, minlength=n)
+            inv_d = np.zeros(n, dtype="float64")
+            np.divide(damping, deg, out=inv_d, where=deg > 0)
+            rank = _pagerank_incore_loop(
+                spark, ckpt, n, uniq, starts, srcs, inv_d, teleport, tol, max_iters
+            )
+            return spark.createDataFrame(
+                pd.DataFrame({"id": np.arange(n, dtype="int64"), "rank": rank})
+            )
+
         # out-degree → inv_d = damping/outdeg (0 for dangling; GAP leak)
         deg_pd = (
             e_src.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).toPandas()
@@ -261,7 +350,6 @@ def pagerank_dense_kernel(
             e_src.unpersist()
         idt = eng.idt
 
-        teleport = (1.0 - damping) / n
         if eng.local_mode:
             rank = _pagerank_fused_loop(
                 eng, spark, ckpt, n, inv_d, teleport, tol, max_iters, idt, owned
@@ -549,8 +637,37 @@ def cc_dense_kernel(
         n = eng.n
         if n == 0:
             return spark.createDataFrame([], "id long, component long")
+        sym = None
+        if owned and eng.local_mode:
+            # persist spans the count probe AND (on fall-through) the
+            # block build, so the symmetrize+distinct runs once
+            sym = eng.edges.persist()
+            if sym.count() <= INCORE_MAX_NNZ:
+                uniq, starts, srcs = _incore_arrays(sym)
+                sym.unpersist()
+                labels, converged = _label_incore_loop(
+                    spark, ckpt, n, uniq, starts, srcs, max_iters,
+                    _cc_block_update, "component",
+                )
+                if not converged:
+                    import warnings
+
+                    warnings.warn(
+                        f"cc_dense_kernel: not converged after {max_iters} "
+                        "iterations — components may be split; raise "
+                        "max_iters (graph diameter bounds the iteration "
+                        "count)",
+                        RuntimeWarning,
+                    )
+                return spark.createDataFrame(
+                    pd.DataFrame(
+                        {"id": np.arange(n, dtype="int64"), "component": labels}
+                    )
+                )
         if owned:
             eng.build()
+        if sym is not None:
+            sym.unpersist()
         idt = eng.idt
 
         if eng.local_mode:
@@ -665,10 +782,29 @@ def lpa_dense_kernel(
         n = eng.n
         if n == 0:
             return spark.createDataFrame([], "id long, label long")
+        base = n + 1
+        sym = None
+        if owned and eng.local_mode:
+            from functools import partial
+
+            sym = eng.edges.persist()
+            if sym.count() <= INCORE_MAX_NNZ:
+                uniq, starts, srcs = _incore_arrays(sym)
+                sym.unpersist()
+                labels, _ = _label_incore_loop(
+                    spark, ckpt, n, uniq, starts, srcs, max_iters,
+                    partial(_lpa_block_update, base=base), "label",
+                )
+                return spark.createDataFrame(
+                    pd.DataFrame(
+                        {"id": np.arange(n, dtype="int64"), "label": labels}
+                    )
+                )
         if owned:
             eng.build()
+        if sym is not None:
+            sym.unpersist()
         idt = eng.idt
-        base = n + 1
 
         if eng.local_mode:
             from functools import partial

@@ -127,11 +127,14 @@ def test_pagerank_csr_matches_oracle_and_join(spark):
         assert got_csr[i] == pytest.approx(got_join[i], abs=1e-9)
 
 
-def test_cluster_collect_loops_match_fused(spark):
-    """Local mode always takes the fused memmap-scatter loops; the
-    cluster-mode broadcast+collect loops must stay equivalent. Force
-    them by flipping ``local_mode`` on a pre-built engine (broadcast
-    transport works in local mode too) and compare exactly."""
+def test_all_three_tiers_agree(spark):
+    """The engine has three iteration tiers: in-core driver rounds
+    (local mode, nnz ≤ INCORE_MAX_NNZ — what a default small-graph call
+    takes), the fused memmap-scatter loop (local, engine pre-built), and
+    the cluster-mode broadcast+collect loop (forced by flipping
+    ``local_mode`` on a pre-built engine — broadcast transport works in
+    local mode too). All three must stay equivalent: exactly for the
+    integer label updates, to 1e-12 for PageRank (fp sum order)."""
     from pygraphblas_spark.kernels.csr_dense import (
         _BlockEngine,
         _symmetrized,
@@ -143,44 +146,50 @@ def test_cluster_collect_loops_match_fused(spark):
 
     e = edges_df(spark, PR_I, PR_J).select("src", "dst")
 
-    fused_pr = {
+    # tier 1: default call → in-core driver rounds
+    incore_pr = {
         r["id"]: r["rank"]
         for r in pagerank_dense_kernel(e, n=11, tol=1e-10, max_iters=50).collect()
     }
-    fused_cc = {
+    incore_cc = {
         r["id"]: r["component"] for r in cc_dense_kernel(e, n=11).collect()
     }
-    fused_lpa = {
+    incore_lpa = {
         r["id"]: r["label"] for r in lpa_dense_kernel(e, n=11, max_iters=8).collect()
     }
 
-    with iteration_conf(spark):
-        eng = _BlockEngine(e, 11, 4).build()
-    eng.local_mode = False  # dispatch + transport now take the cluster path
-    pr = {
-        r["id"]: r["rank"]
-        for r in pagerank_dense_kernel(
-            e, n=11, tol=1e-10, max_iters=50, engine=eng
-        ).collect()
-    }
-    assert pr.keys() == fused_pr.keys()
-    for k in pr:
-        assert pr[k] == pytest.approx(fused_pr[k], abs=1e-12)
-    eng.close()
+    def run_pr_cc_lpa(flip_local):
+        with iteration_conf(spark):
+            eng = _BlockEngine(e, 11, 4).build()
+            eng_s = _BlockEngine(_symmetrized(e, False), 11, 4).build()
+        if flip_local:
+            eng.local_mode = eng_s.local_mode = False
+        pr = {
+            r["id"]: r["rank"]
+            for r in pagerank_dense_kernel(
+                e, n=11, tol=1e-10, max_iters=50, engine=eng
+            ).collect()
+        }
+        cc = {
+            r["id"]: r["component"]
+            for r in cc_dense_kernel(e, n=11, directed=False, engine=eng_s).collect()
+        }
+        lpa = {
+            r["id"]: r["label"]
+            for r in lpa_dense_kernel(
+                e, n=11, max_iters=8, directed=False, engine=eng_s
+            ).collect()
+        }
+        eng.close()
+        eng_s.close()
+        return pr, cc, lpa
 
-    with iteration_conf(spark):
-        eng_s = _BlockEngine(_symmetrized(e, False), 11, 4).build()
-    eng_s.local_mode = False
-    cc = {
-        r["id"]: r["component"]
-        for r in cc_dense_kernel(e, n=11, directed=False, engine=eng_s).collect()
-    }
-    lpa = {
-        r["id"]: r["label"]
-        for r in lpa_dense_kernel(
-            e, n=11, max_iters=8, directed=False, engine=eng_s
-        ).collect()
-    }
-    eng_s.close()
-    assert cc == fused_cc
-    assert lpa == fused_lpa
+    # tier 2: pre-built engine, local → fused memmap loop
+    # tier 3: local_mode flipped off → cluster broadcast+collect loop
+    for flip in (False, True):
+        pr, cc, lpa = run_pr_cc_lpa(flip)
+        assert pr.keys() == incore_pr.keys()
+        for k in pr:
+            assert pr[k] == pytest.approx(incore_pr[k], abs=1e-12)
+        assert cc == incore_cc
+        assert lpa == incore_lpa
