@@ -36,12 +36,57 @@ def _symmetrized_distinct(edges: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def triangle_count(edges: DataFrame) -> int:
+def triangle_count(edges: DataFrame, strategy: str = "auto") -> int:
     """Exact global triangle count of the undirected graph of ``edges``.
 
     Degree-ordered orientation + wedge close: for each oriented wedge
     u→v, u→w (v<w in the order), a triangle iff v→w is an oriented edge.
+
+    ``strategy``: 'auto' | 'incore' | 'blocked' | 'join'. Auto picks the
+    CSR kernel tiers (kernels/tri_csr.py) when pair keys pack into
+    int64: in-core numpy below ``INCORE_MAX_NNZ`` symmetrized edges in
+    local mode, the blocked mapInArrow kernel above it; the DataFrame
+    join plan remains for un-packable ids or very large oriented sets.
     """
+    from pygraphblas_spark.kernels.csr_dense import INCORE_MAX_NNZ
+    from pygraphblas_spark.kernels import tri_csr
+
+    if strategy in ("auto", "incore", "blocked"):
+        spark = edges.sparkSession
+        e = edges.select("src", "dst").persist()
+        mx = e.agg(F.max("src"), F.max("dst"), F.count(F.lit(1))).first()
+        if mx[0] is None:
+            e.unpersist()
+            return 0
+        n = int(max(mx[0], mx[1])) + 1
+        packable = n < (1 << 31)  # n*n must stay inside int64
+        local = spark.sparkContext.master.startswith("local")
+        if packable:
+            nnz = int(mx[2])
+            if strategy == "incore" or (
+                strategy == "auto" and local and 2 * nnz <= INCORE_MAX_NNZ
+            ):
+                tbl = e.toArrow()
+                e.unpersist()
+                return tri_csr.triangle_count_incore(
+                    tbl.column("src").to_numpy(zero_copy_only=False),
+                    tbl.column("dst").to_numpy(zero_copy_only=False),
+                    n,
+                )
+            if strategy == "blocked" or (
+                strategy == "auto" and 2 * nnz <= tri_csr.BLOCKED_MAX_ORIENTED
+            ):
+                try:
+                    return tri_csr.triangle_count_blocked(e, n)
+                finally:
+                    e.unpersist()
+        e.unpersist()
+        if strategy != "auto":
+            raise ValueError(
+                f"triangle_count strategy {strategy!r} needs ids packable "
+                f"into int64 pair keys (n={n})"
+            )
+
     sym = _symmetrized_distinct(edges)
 
     # degree-ordered relabel: rank = (degree, id) dense ordering

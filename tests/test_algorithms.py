@@ -120,6 +120,44 @@ def test_triangle_sandia_matches_scalable(spark):
     assert triangle_count_sandia(L) == want
 
 
+def test_triangle_strategies_agree(spark):
+    # in-core / blocked CSR kernels / DataFrame join plan: identical
+    # exact counts on random multigraph-ish inputs (dupes, self-loops)
+    rng = np.random.RandomState(7)
+    for n, m in ((25, 120), (60, 500), (100, 900)):
+        I = rng.randint(0, n, m).tolist()
+        J = rng.randint(0, n, m).tolist()
+        e = edges_df(spark, I, J)
+        want = triangle_oracle(I, J, n)
+        assert triangle_count(e, strategy="incore") == want
+        assert triangle_count(e, strategy="blocked") == want
+        assert triangle_count(e, strategy="join") == want
+        assert triangle_count(e) == want  # auto
+
+
+def test_triangle_empty_and_tiny(spark):
+    e = edges_df(spark, [], [])
+    assert triangle_count(e) == 0
+    e2 = edges_df(spark, [0], [0])  # lone self-loop
+    assert triangle_count(e2) == 0
+
+
+def test_triangle_wedge_chunking(spark, monkeypatch):
+    # force many tiny chunks through the vectorized enumerate so the
+    # intra-segment split path is exercised
+    from pygraphblas_spark.kernels import tri_csr
+
+    monkeypatch.setattr(tri_csr, "WEDGE_CHUNK", 7)
+    rng = np.random.RandomState(11)
+    n, m = 30, 300
+    I = rng.randint(0, n, m).tolist()
+    J = rng.randint(0, n, m).tolist()
+    e = edges_df(spark, I, J)
+    want = triangle_oracle(I, J, n)
+    assert triangle_count(e, strategy="incore") == want
+    assert triangle_count(e, strategy="blocked") == want
+
+
 def test_bfs_levels(spark):
     e = edges_df(spark, DOC_I, DOC_J)
     got = {r["id"]: r["level"] for r in bfs_levels(e, source=0).collect()}
