@@ -42,8 +42,14 @@ def connected_components(
     checkpoint: Optional[CheckpointManager] = None,
     num_partitions: Optional[int] = None,
     strategy: str = "auto",
+    init: Optional[DataFrame] = None,
+    start_iteration: int = 0,
 ) -> DataFrame:
     """Connected components over an edge DataFrame (src, dst).
+
+    ``init`` / ``start_iteration`` warm-start from a prior (id,
+    component) state — e.g. the output of ``CheckpointManager.resume``
+    — continuing the checkpoint numbering.
 
     Returns (id: long, component: long) where component is the minimum
     vertex id in the component — exact, deterministic labels.
@@ -71,12 +77,18 @@ def connected_components(
                 directed=directed,
                 num_blocks=num_partitions,
                 checkpoint=ckpt,
+                init=init,
+                start_iteration=start_iteration,
             )
     with iteration_conf(spark):
-        return _cc_loop(spark, edges, n, max_iters, directed, ckpt, num_partitions)
+        return _cc_loop(
+            spark, edges, n, max_iters, directed, ckpt, num_partitions,
+            init, start_iteration,
+        )
 
 
-def _cc_loop(spark, edges, n, max_iters, directed, ckpt, num_partitions):
+def _cc_loop(spark, edges, n, max_iters, directed, ckpt, num_partitions,
+             init=None, start_iteration=0):
     e = edges.select("src", "dst")
     if not directed:
         e = e.unionByName(
@@ -98,11 +110,15 @@ def _cc_loop(spark, edges, n, max_iters, directed, ckpt, num_partitions):
     else:
         e.count()
 
-    # label[v] = v
-    labels = spark.range(n).select("id", F.col("id").alias("component"))
+    # label[v] = v — or the warm-start state
+    if init is not None:
+        labels = init.select("id", "component")
+    else:
+        labels = spark.range(n).select("id", F.col("id").alias("component"))
     labels = labels.localCheckpoint(eager=True)
-    # frontier: vertices whose label changed last round (all, initially)
-    frontier = labels
+    # frontier: vertices whose label changed last round (all, initially —
+    # a warm start conservatively re-propagates every label once)
+    frontier = labels.select("id", "component")
     frontier_rows = n
     for it in range(max_iters):
         # propagate only frontier labels: min incoming label per dst.
@@ -140,7 +156,7 @@ def _cc_loop(spark, edges, n, max_iters, directed, ckpt, num_partitions):
         new_frontier = merged.filter(F.col("__changed")).select("id", "component")
         new_labels = merged.select("id", "component")
         states = ckpt.save(
-            it + 1,
+            start_iteration + it + 1,
             {"labels": new_labels, "frontier": new_frontier},
             {"changed": changed, "n": n},
         )

@@ -41,8 +41,14 @@ def label_propagation(
     checkpoint: Optional[CheckpointManager] = None,
     num_partitions: Optional[int] = None,
     strategy: str = "auto",
+    init: Optional[DataFrame] = None,
+    start_iteration: int = 0,
 ) -> DataFrame:
     """Synchronous LPA over an edge DataFrame (src, dst).
+
+    ``init`` / ``start_iteration`` warm-start from a prior (id, label)
+    state — e.g. the output of ``CheckpointManager.resume`` —
+    continuing the checkpoint numbering.
 
     Returns (id: long, label: long). Deterministic: most-frequent
     neighbor label, ties to the smallest label; stops when no vertex
@@ -70,12 +76,18 @@ def label_propagation(
                 directed=directed,
                 num_blocks=num_partitions,
                 checkpoint=ckpt,
+                init=init,
+                start_iteration=start_iteration,
             )
     with iteration_conf(spark):
-        return _lpa_loop(spark, edges, n, max_iters, directed, ckpt, num_partitions)
+        return _lpa_loop(
+            spark, edges, n, max_iters, directed, ckpt, num_partitions,
+            init, start_iteration,
+        )
 
 
-def _lpa_loop(spark, edges, n, max_iters, directed, ckpt, num_partitions):
+def _lpa_loop(spark, edges, n, max_iters, directed, ckpt, num_partitions,
+              init=None, start_iteration=0):
     e = edges.select("src", "dst")
     if not directed:
         e = e.unionByName(
@@ -97,7 +109,10 @@ def _lpa_loop(spark, edges, n, max_iters, directed, ckpt, num_partitions):
     else:
         e.count()
 
-    labels = spark.range(n).select("id", F.col("id").alias("label"))
+    if init is not None:
+        labels = init.select("id", "label")
+    else:
+        labels = spark.range(n).select("id", F.col("id").alias("label"))
     labels = labels.localCheckpoint(eager=True)
 
     for it in range(max_iters):
@@ -125,7 +140,11 @@ def _lpa_loop(spark, edges, n, max_iters, directed, ckpt, num_partitions):
         merged = merged.localCheckpoint(eager=False)
         changed = merged.agg(F.sum(F.col("__changed").cast("long"))).first()[0]
         new_labels = merged.select("id", "label")
-        states = ckpt.save(it + 1, {"labels": new_labels}, {"changed": changed, "n": n})
+        states = ckpt.save(
+            start_iteration + it + 1,
+            {"labels": new_labels},
+            {"changed": changed, "n": n},
+        )
         release_state(labels)
         labels = states["labels"]
         if changed == 0:

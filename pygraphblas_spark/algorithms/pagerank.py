@@ -83,6 +83,8 @@ def pagerank(
     checkpoint: Optional[CheckpointManager] = None,
     num_partitions: Optional[int] = None,
     strategy: str = "auto",
+    init: Optional[DataFrame] = None,
+    start_iteration: int = 0,
 ) -> DataFrame:
     """Compute PageRank over a directed edge DataFrame (src, dst).
 
@@ -90,6 +92,10 @@ def pagerank(
     ``n`` defaults to max(src, dst)+1 (one pass).
     ``strategy``: 'broadcast' | 'shuffle' | 'auto' — how the rank vector
     meets the edge table each iteration (see module docstring).
+    ``init`` / ``start_iteration`` warm-start from a prior state — pass
+    the (id, rank) DataFrame and iteration number that
+    ``CheckpointManager.resume`` returns to continue a run mid-stream;
+    checkpoint records continue the original numbering.
     """
     spark = edges.sparkSession
     ckpt = checkpoint or CheckpointManager(algorithm="pagerank")
@@ -112,16 +118,20 @@ def pagerank(
                 max_iters=max_iters,
                 num_blocks=num_partitions,
                 checkpoint=ckpt,
+                init=init,
+                start_iteration=start_iteration,
             )
         strategy = "shuffle"
     with iteration_conf(spark):
         return _pagerank_loop(
-            spark, edges, n, damping, tol, max_iters, ckpt, num_partitions, strategy
+            spark, edges, n, damping, tol, max_iters, ckpt, num_partitions,
+            strategy, init, start_iteration,
         )
 
 
 def _pagerank_loop(
-    spark, edges, n, damping, tol, max_iters, ckpt, num_partitions, strategy
+    spark, edges, n, damping, tol, max_iters, ckpt, num_partitions, strategy,
+    init=None, start_iteration=0,
 ):
     e = edges.select("src", "dst")
     if num_partitions:
@@ -156,8 +166,11 @@ def _pagerank_loop(
     ew.count()
     e.unpersist()
 
-    # r = 1/n everywhere (prmark.py:20)
-    r = spark.range(n).select(F.col("id"), F.lit(1.0 / n).alias("rank"))
+    # r = 1/n everywhere (prmark.py:20) — or the warm-start state
+    if init is not None:
+        r = init.select("id", "rank")
+    else:
+        r = spark.range(n).select(F.col("id"), F.lit(1.0 / n).alias("rank"))
     r = r.localCheckpoint(eager=True)
 
     iters = 0
@@ -187,7 +200,7 @@ def _pagerank_loop(
         merged = _cut_lazy(merged)
         rdiff = merged.agg(F.sum("__diff")).first()[0]
         r_new = merged.select("id", "rank")
-        iters = it + 1
+        iters = start_iteration + it + 1
         states = ckpt.save(iters, {"rank": r_new}, {"rdiff": rdiff, "n": n})
         release_state(t)
         r = states["rank"]

@@ -240,14 +240,55 @@ def _incore_arrays(edges: DataFrame):
     return dst[starts], starts, src
 
 
+def _init_array(init, n: int, col: str, default):
+    """Materialize a warm-start state vector: ``init`` is None (use
+    ``default``), a length-n numpy array, or a DataFrame with columns
+    (id, ``col``) — e.g. a state loaded by ``CheckpointManager.resume``.
+    Ids absent from a DataFrame init keep the default value."""
+    if init is None:
+        return default  # caller passes a freshly built array
+    if isinstance(init, np.ndarray):
+        if len(init) != n:
+            raise ValueError(f"init array length {len(init)} != n {n}")
+        return init.astype(default.dtype, copy=True)
+    tbl = init.select("id", col).toArrow()
+    ids = np.asarray(tbl.column("id").to_numpy(zero_copy_only=False), dtype="int64")
+    vals = np.asarray(
+        tbl.column(col).to_numpy(zero_copy_only=False), dtype=default.dtype
+    )
+    out = default.copy()
+    out[ids] = vals
+    return out
+
+
+def _incore_sym_arrays(edges: DataFrame, n: int):
+    """One Arrow pull of the RAW directed edges → the symmetrized CSR
+    arrays (uniq, starts, src), built driver-side: a packed-key
+    ``np.unique`` replaces the Spark union+distinct shuffle AND the dst
+    sort in one pass (keys ``dst*n+src`` sort by (dst, src) and dedup
+    reciprocal duplicates exactly like ``_symmetrized().distinct()``).
+    Requires ``n*n`` packable in int64 (n < 2^31)."""
+    tbl = edges.select("src", "dst").toArrow()
+    s = np.asarray(tbl.column("src").to_numpy(zero_copy_only=False), dtype="int64")
+    d = np.asarray(tbl.column("dst").to_numpy(zero_copy_only=False), dtype="int64")
+    if len(d) == 0:
+        z = np.zeros(0, dtype="int64")
+        return z, z, z
+    K = np.unique(np.concatenate([d * n + s, s * n + d]))  # keyed (dst, src)
+    dstk = K // n
+    starts = np.flatnonzero(np.r_[True, dstk[1:] != dstk[:-1]]).astype("int64")
+    return dstk[starts], starts, K % n
+
+
 def _pagerank_incore_loop(
-    spark, ckpt, n, uniq, starts, src, inv_d, teleport, tol, max_iters
+    spark, ckpt, n, uniq, starts, src, inv_d, teleport, tol, max_iters,
+    rank0=None, it0: int = 0,
 ) -> np.ndarray:
     """Driver in-core rounds — identical update to the fused loop
     (teleport prefill + ``np.add.reduceat`` per dst segment), zero Spark
     jobs per iteration."""
-    rank = np.full(n, 1.0 / n, dtype="float64")
-    for it in range(max_iters):
+    rank = rank0 if rank0 is not None else np.full(n, 1.0 / n, dtype="float64")
+    for it in range(it0, it0 + max_iters):
         y = np.full(n, teleport, dtype="float64")
         if len(src):
             y[uniq] = teleport + np.add.reduceat(rank[src] * inv_d[src], starts)
@@ -261,13 +302,16 @@ def _pagerank_incore_loop(
     return rank
 
 
-def _label_incore_loop(spark, ckpt, n, uniq, starts, src, max_iters, block_fn, state_col):
+def _label_incore_loop(
+    spark, ckpt, n, uniq, starts, src, max_iters, block_fn, state_col,
+    labels0=None, it0: int = 0,
+):
     """Driver in-core label rounds (cc/lpa) — ``block_fn`` is the same
     per-block update the distributed loops run; here the single 'block'
     spans every dst. Returns (labels, converged)."""
-    labels = np.arange(n, dtype="int64")
+    labels = labels0 if labels0 is not None else np.arange(n, dtype="int64")
     converged = False
-    for it in range(max_iters):
+    for it in range(it0, it0 + max_iters):
         new = labels.copy()  # uncovered vertices carry their label
         if len(src):
             new[uniq] = block_fn(labels, uniq, starts, src)
@@ -292,6 +336,8 @@ def pagerank_dense_kernel(
     num_blocks: int | None = None,
     checkpoint=None,
     engine: "_BlockEngine | None" = None,
+    init=None,
+    start_iteration: int = 0,
 ) -> DataFrame:
     """PageRank over cached CSR blocks — zero shuffles per iteration.
 
@@ -331,7 +377,10 @@ def pagerank_dense_kernel(
             inv_d = np.zeros(n, dtype="float64")
             np.divide(damping, deg, out=inv_d, where=deg > 0)
             rank = _pagerank_incore_loop(
-                spark, ckpt, n, uniq, starts, srcs, inv_d, teleport, tol, max_iters
+                spark, ckpt, n, uniq, starts, srcs, inv_d, teleport, tol,
+                max_iters,
+                rank0=_init_array(init, n, "rank", np.full(n, 1.0 / n, dtype="float64")),
+                it0=start_iteration,
             )
             return spark.createDataFrame(
                 pd.DataFrame({"id": np.arange(n, dtype="int64"), "rank": rank})
@@ -352,11 +401,15 @@ def pagerank_dense_kernel(
 
         if eng.local_mode:
             rank = _pagerank_fused_loop(
-                eng, spark, ckpt, n, inv_d, teleport, tol, max_iters, idt, owned
+                eng, spark, ckpt, n, inv_d, teleport, tol, max_iters, idt, owned,
+                rank0=_init_array(init, n, "rank", np.full(n, 1.0 / n, dtype="float64")),
+                it0=start_iteration,
             )
         else:
             rank = _pagerank_collect_loop(
-                eng, spark, ckpt, n, inv_d, teleport, tol, max_iters, idt, owned
+                eng, spark, ckpt, n, inv_d, teleport, tol, max_iters, idt, owned,
+                rank0=_init_array(init, n, "rank", np.full(n, 1.0 / n, dtype="float64")),
+                it0=start_iteration,
             )
         return spark.createDataFrame(
             pd.DataFrame({"id": np.arange(n, dtype="int64"), "rank": rank})
@@ -364,7 +417,8 @@ def pagerank_dense_kernel(
 
 
 def _pagerank_fused_loop(
-    eng, spark, ckpt, n, inv_d, teleport, tol, max_iters, idt, owned
+    eng, spark, ckpt, n, inv_d, teleport, tol, max_iters, idt, owned,
+    rank0=None, it0: int = 0,
 ) -> np.ndarray:
     """Local-mode iteration: kernel tasks scatter their per-block new
     ranks straight into a shared tmpfs memmap (disjoint dst slots — no
@@ -385,9 +439,11 @@ def _pagerank_fused_loop(
         p, m = eng.memmap_file(name)
         y_paths.append(p)
         y_mms.append(m)
-    y_mms[0][:] = 1.0 / n
+    y_mms[0][:] = rank0 if rank0 is not None else 1.0 / n
     cur = y_mms[0]
     try:
+        # 0-based `it` keeps the prev/cur memmap parity; checkpoint
+        # records are offset by it0 (warm start)
         for it in range(max_iters):
             prev, cur = y_mms[it % 2], y_mms[(it + 1) % 2]
             prev_path, cur_path = y_paths[it % 2], y_paths[(it + 1) % 2]
@@ -422,7 +478,7 @@ def _pagerank_fused_loop(
                 np.abs(teleport - prev[uncov]).sum()
             )
             _maybe_durable(
-                ckpt, spark, it + 1, "rank", n, cur, "rank",
+                ckpt, spark, it0 + it + 1, "rank", n, cur, "rank",
                 {"rdiff": rdiff, "n": n},
             )
             if rdiff <= tol:
@@ -440,14 +496,17 @@ def _pagerank_fused_loop(
 
 
 def _pagerank_collect_loop(
-    eng, spark, ckpt, n, inv_d, teleport, tol, max_iters, idt, owned
+    eng, spark, ckpt, n, inv_d, teleport, tol, max_iters, idt, owned,
+    rank0=None, it0: int = 0,
 ) -> np.ndarray:
     """Cluster-mode iteration: broadcast the weighted vector, collect
     per-block (ids, vals) via Arrow, merge on the driver."""
     import pyarrow as pa
 
-    rank = np.full(n, 1.0 / n, dtype="float64")
+    rank = rank0 if rank0 is not None else np.full(n, 1.0 / n, dtype="float64")
     try:
+        # 0-based `it` keeps the prev/cur memmap parity; checkpoint
+        # records are offset by it0 (warm start)
         for it in range(max_iters):
             w_path, w_b = eng.publish(rank * inv_d)
 
@@ -482,7 +541,7 @@ def _pagerank_collect_loop(
             rdiff = float(np.abs(y - rank).sum())
             rank = y
             _maybe_durable(
-                ckpt, spark, it + 1, "rank", n, rank, "rank",
+                ckpt, spark, it0 + it + 1, "rank", n, rank, "rank",
                 {"rdiff": rdiff, "n": n},
             )
             if rdiff <= tol:
@@ -521,7 +580,8 @@ def _lpa_block_update(pv, uniq, starts, src, base):
 
 
 def _fused_label_loop(
-    eng, spark, ckpt, n, max_iters, block_fn, idt, state_col, owned
+    eng, spark, ckpt, n, max_iters, block_fn, idt, state_col, owned,
+    labels0=None, it0: int = 0,
 ):
     """Local-mode label iteration shared by cc/lpa: kernel tasks read
     the previous labels from one tmpfs memmap and scatter their
@@ -543,10 +603,12 @@ def _fused_label_loop(
         p, m = eng.memmap_file(name, dtype="int64")
         paths.append(p)
         mms.append(m)
-    mms[0][:] = np.arange(n, dtype="int64")
+    mms[0][:] = labels0 if labels0 is not None else np.arange(n, dtype="int64")
     cur = mms[0]
     converged = False
     try:
+        # 0-based `it` keeps the prev/cur memmap parity; checkpoint
+        # records are offset by it0 (warm start)
         for it in range(max_iters):
             prev, cur = mms[it % 2], mms[(it + 1) % 2]
             prev_path, cur_path = paths[it % 2], paths[(it + 1) % 2]
@@ -580,7 +642,7 @@ def _fused_label_loop(
             tbl = eng.run(step, "changed long")
             changed = int(sum(tbl.column("changed").to_pylist()))
             _maybe_durable(
-                ckpt, spark, it + 1, "labels", n, cur, state_col,
+                ckpt, spark, it0 + it + 1, "labels", n, cur, state_col,
                 {"changed": changed, "n": n},
             )
             if changed == 0:
@@ -615,6 +677,8 @@ def cc_dense_kernel(
     num_blocks: int | None = None,
     checkpoint=None,
     engine: "_BlockEngine | None" = None,
+    init=None,
+    start_iteration: int = 0,
 ) -> DataFrame:
     """Connected components — min-label diffusion over cached CSR blocks.
 
@@ -638,16 +702,29 @@ def cc_dense_kernel(
         if n == 0:
             return spark.createDataFrame([], "id long, component long")
         sym = None
+        incore = None
         if owned and eng.local_mode:
-            # persist spans the count probe AND (on fall-through) the
-            # block build, so the symmetrize+distinct runs once
-            sym = eng.edges.persist()
-            if sym.count() <= INCORE_MAX_NNZ:
-                uniq, starts, srcs = _incore_arrays(sym)
-                sym.unpersist()
+            if not directed and n < (1 << 31):
+                # sym nnz <= 2x raw nnz: when even the bound fits
+                # in-core, symmetrize+dedup+sort driver-side in ONE
+                # np.unique off a raw-edge pull — no shuffle at all
+                if 2 * edges.count() <= INCORE_MAX_NNZ:
+                    incore = _incore_sym_arrays(edges, n)
+            if incore is None:
+                # persist spans the count probe AND (on fall-through)
+                # the block build, so the symmetrize+distinct runs once
+                sym = eng.edges.persist()
+                if sym.count() <= INCORE_MAX_NNZ:
+                    incore = _incore_arrays(sym)
+                    sym.unpersist()
+                    sym = None
+            if incore is not None:
+                uniq, starts, srcs = incore
                 labels, converged = _label_incore_loop(
                     spark, ckpt, n, uniq, starts, srcs, max_iters,
                     _cc_block_update, "component",
+                    labels0=_init_array(init, n, "component", np.arange(n, dtype="int64")),
+                    it0=start_iteration,
                 )
                 if not converged:
                     import warnings
@@ -674,6 +751,8 @@ def cc_dense_kernel(
             labels, converged = _fused_label_loop(
                 eng, spark, ckpt, n, max_iters,
                 _cc_block_update, idt, "component", owned,
+                labels0=_init_array(init, n, "component", np.arange(n, dtype="int64")),
+                it0=start_iteration,
             )
             if not converged:
                 import warnings
@@ -689,7 +768,9 @@ def cc_dense_kernel(
                 pd.DataFrame({"id": np.arange(n, dtype="int64"), "component": labels})
             )
 
-        labels = np.arange(n, dtype="int64")
+        labels = _init_array(
+            init, n, "component", np.arange(n, dtype="int64")
+        )
         try:
             for it in range(max_iters):
                 l_path, l_b = eng.publish(labels)
@@ -726,7 +807,7 @@ def cc_dense_kernel(
                 changed = int((new < labels).sum())
                 labels = new
                 _maybe_durable(
-                    ckpt, spark, it + 1, "labels",
+                    ckpt, spark, start_iteration + it + 1, "labels",
                     n, labels, "component",
                     {"changed": changed, "n": n},
                 )
@@ -758,6 +839,8 @@ def lpa_dense_kernel(
     num_blocks: int | None = None,
     checkpoint=None,
     engine: "_BlockEngine | None" = None,
+    init=None,
+    start_iteration: int = 0,
 ) -> DataFrame:
     """Synchronous LPA over cached CSR blocks — most-frequent neighbor
     label, ties to the smallest label (deterministic, identical to
@@ -784,16 +867,27 @@ def lpa_dense_kernel(
             return spark.createDataFrame([], "id long, label long")
         base = n + 1
         sym = None
+        incore = None
         if owned and eng.local_mode:
             from functools import partial
 
-            sym = eng.edges.persist()
-            if sym.count() <= INCORE_MAX_NNZ:
-                uniq, starts, srcs = _incore_arrays(sym)
-                sym.unpersist()
+            if not directed and n < (1 << 31):
+                # see cc_dense_kernel: shuffle-free driver symmetrize
+                if 2 * edges.count() <= INCORE_MAX_NNZ:
+                    incore = _incore_sym_arrays(edges, n)
+            if incore is None:
+                sym = eng.edges.persist()
+                if sym.count() <= INCORE_MAX_NNZ:
+                    incore = _incore_arrays(sym)
+                    sym.unpersist()
+                    sym = None
+            if incore is not None:
+                uniq, starts, srcs = incore
                 labels, _ = _label_incore_loop(
                     spark, ckpt, n, uniq, starts, srcs, max_iters,
                     partial(_lpa_block_update, base=base), "label",
+                    labels0=_init_array(init, n, "label", np.arange(n, dtype="int64")),
+                    it0=start_iteration,
                 )
                 return spark.createDataFrame(
                     pd.DataFrame(
@@ -812,12 +906,16 @@ def lpa_dense_kernel(
             labels, _ = _fused_label_loop(
                 eng, spark, ckpt, n, max_iters,
                 partial(_lpa_block_update, base=base), idt, "label", owned,
+                labels0=_init_array(init, n, "label", np.arange(n, dtype="int64")),
+                it0=start_iteration,
             )
             return spark.createDataFrame(
                 pd.DataFrame({"id": np.arange(n, dtype="int64"), "label": labels})
             )
 
-        labels = np.arange(n, dtype="int64")
+        labels = _init_array(
+            init, n, "label", np.arange(n, dtype="int64")
+        )
         try:
             for it in range(max_iters):
                 l_path, l_b = eng.publish(labels)
@@ -870,7 +968,7 @@ def lpa_dense_kernel(
                 changed = int((new != labels).sum())
                 labels = new
                 _maybe_durable(
-                    ckpt, spark, it + 1, "labels",
+                    ckpt, spark, start_iteration + it + 1, "labels",
                     n, labels, "label",
                     {"changed": changed, "n": n},
                 )

@@ -7,8 +7,10 @@ degree-ordered orientation as the DataFrame plan (bounds every out-list
 by O(sqrt(m)), killing hub wedge explosion). What the kernels change is
 the physical execution: instead of a wedge self-JOIN + closing semi-join
 (three shuffles, JVM row processing), wedges are enumerated with
-vectorized numpy inside each pivot segment and closed with a binary
-search against the sorted oriented-edge key array.
+vectorized numpy inside each pivot segment and closed with a two-level
+CSR probe — O(1) row-pointer gather, then a short vectorized binary
+search inside the tip's out-list (log2(max out-degree) cache-local
+gathers per wedge, not log2(m) random ones).
 
 Tiers:
 
@@ -25,11 +27,10 @@ Tiers:
 - caller falls back to the pure-DataFrame plan when keys cannot pack
   (``n*n`` overflowing int64) or the oriented set is too large to share.
 
-Orientation-free closing test: the oriented edge between wedge tips
-(v, w) exists in exactly one direction (the (deg, id) total order), so
-membership is checked for BOTH packed keys — no rank relabel needed
-inside the kernel, and each triangle is counted exactly once at its
-lowest-rank pivot.
+Both tiers work in (deg, id)-rank-relabelled id space: the oriented
+closing edge between wedge tips (a, b) with a < b can only point a→b,
+so membership is ONE probe per wedge, and each triangle is counted
+exactly once at its lowest-rank pivot.
 """
 
 from __future__ import annotations
@@ -51,29 +52,45 @@ WEDGE_CHUNK = int(os.environ.get("PGB_TRI_WEDGE_CHUNK", "8000000"))
 BLOCKED_MAX_ORIENTED = int(os.environ.get("PGB_TRI_MAX_ORIENTED", "400000000"))
 
 
+def _csr_index(keys: np.ndarray, n: int):
+    """Split a sorted packed-key array into the two-level CSR probe
+    index: ``ptr`` (int64, len n+1 — row pointer per tip-a) and ``dsts``
+    (the b side, int32 when it fits). Probing (a, b) then costs ONE O(1)
+    ``ptr`` gather plus a binary search inside a's short out-list —
+    ~log2(max out-degree) gathers in contiguous memory instead of
+    log2(m) random probes across the full key array. With degree-ordered
+    orientation max out-degree is O(sqrt(m)), and in practice tiny."""
+    counts = np.bincount(keys // n, minlength=n)
+    ptr = np.zeros(n + 1, dtype="int64")
+    np.cumsum(counts, out=ptr[1:])
+    dt = "int32" if n <= (1 << 31) - 1 else "int64"
+    dsts = (keys % n).astype(dt)
+    return ptr, dsts
+
+
 def _closures_for_segments(
     dst: np.ndarray,
     starts: np.ndarray,
-    keys: np.ndarray,
-    n: int,
-    ranked: bool = False,
+    ptr: np.ndarray,
+    dsts: np.ndarray,
     threads: int = 1,
 ) -> int:
     """Count closed wedges for pivot segments (``dst`` split at
-    ``starts``) against the sorted oriented key array ``keys``.
+    ``starts``) against the CSR probe index (``ptr``, ``dsts``) built by
+    :func:`_csr_index`.
 
     Vectorized pair enumeration: wedge offsets within each segment are
     decoded to (i, j) index pairs with the triangular-number inverse —
-    O(1) numpy ops per wedge, chunked to ``WEDGE_CHUNK``.
-
-    ``ranked=True`` means ids are already (deg, id)-rank-relabelled and
-    segment dst lists are sorted ascending, so the closing edge between
-    wedge tips (a, b) with a < b can only be oriented a→b — ONE
-    searchsorted per wedge instead of two. ``threads`` fans chunks out
-    over a thread pool (the heavy numpy ops release the GIL).
+    O(1) numpy ops per wedge, chunked to ``WEDGE_CHUNK``. Ids are
+    (deg, id)-rank-relabelled and segment dst lists sorted ascending, so
+    the closing edge between wedge tips (a, b) with a < b can only be
+    oriented a→b: ONE membership probe per wedge. The probe is a manual
+    vectorized lower-bound loop over each a's short out-list slice —
+    iteration count is log2 of the LONGEST out-list, and every gather
+    lands in a's few cache lines. ``threads`` fans chunks out over a
+    thread pool (the heavy numpy ops release the GIL).
     """
-    m = len(keys)
-    if len(dst) == 0 or m == 0:
+    if len(dst) == 0 or len(dsts) == 0:
         return 0
     d = np.diff(np.r_[starts, len(dst)])
     c = d * (d - 1) // 2  # wedges per segment
@@ -82,6 +99,8 @@ def _closures_for_segments(
     W = int(seg_end[-1]) if len(seg_end) else 0
     if W == 0:
         return 0
+    seg_max = int(np.max(np.diff(ptr))) if len(ptr) > 1 else 0
+    probe_iters = max(1, int(np.ceil(np.log2(seg_max + 1)))) if seg_max else 0
 
     def one_chunk(pos: int, hi: int) -> int:
         # segments overlapping [pos, hi)
@@ -105,19 +124,19 @@ def _closures_for_segments(
         i = woff - j * (j - 1) // 2
         base = starts[seg_of]
         a = dst[base + i]
-        b = dst[base + j]
-        if ranked:
-            k1 = a * n + b
-            idx1 = np.searchsorted(keys, k1)
-            hit = (idx1 < m) & (keys[np.minimum(idx1, m - 1)] == k1)
-        else:
-            k1 = a * n + b
-            k2 = b * n + a
-            idx1 = np.searchsorted(keys, k1)
-            idx2 = np.searchsorted(keys, k2)
-            hit1 = (idx1 < m) & (keys[np.minimum(idx1, m - 1)] == k1)
-            hit2 = (idx2 < m) & (keys[np.minimum(idx2, m - 1)] == k2)
-            hit = hit1 | hit2
+        b = dst[base + j].astype(dsts.dtype, copy=False)
+        # vectorized lower_bound of b within dsts[ptr[a]:ptr[a+1]]
+        lo = ptr[a]
+        hib = ptr[a + 1]
+        end = hib - 1
+        for _ in range(probe_iters):
+            mid = (lo + hib) >> 1
+            v = dsts[np.minimum(mid, end)]
+            go_right = (lo < hib) & (v < b)
+            stay = (lo < hib) & ~go_right
+            lo = np.where(go_right, mid + 1, lo)
+            hib = np.where(stay, mid, hib)
+        hit = (lo <= end) & (dsts[np.minimum(lo, end)] == b)
         return int(hit.sum())
 
     bounds = list(range(0, W, WEDGE_CHUNK))
@@ -151,8 +170,8 @@ def triangle_count_incore(
 
     Works in (deg, id)-rank-relabelled id space: orientation becomes
     simply rank_u < rank_v and the closure needs one membership probe
-    per wedge (see ``_closures_for_segments(ranked=True)``). Chunks fan
-    out over ``threads`` GIL-releasing numpy workers.
+    per wedge (see ``_closures_for_segments``). Chunks fan out over
+    ``threads`` GIL-releasing numpy workers.
     """
     s = np.asarray(edges_pd_src, dtype="int64")
     d = np.asarray(edges_pd_dst, dtype="int64")
@@ -173,41 +192,94 @@ def triangle_count_incore(
     cond = ru < rv  # orient low (deg, id) -> high (deg, id)
     ko = np.sort(ru[cond] * n + rv[cond])  # oriented keys, rank space
     starts, dst = _segments_from_sorted(ko // n, ko % n)
+    ptr, dsts = _csr_index(ko, n)
     if threads is None:
         threads = min(16, os.cpu_count() or 1)
-    return _closures_for_segments(dst, starts, ko, n, ranked=True, threads=threads)
+    return _closures_for_segments(dst, starts, ptr, dsts, threads=threads)
 
 
-def _oriented_df(edges: DataFrame) -> DataFrame:
-    """Spark-side degree-ordered orientation (the scalable setup path —
-    same plan as the DataFrame triangle counter's front half)."""
+#: rank tables at or below this many rows go broadcast into the two
+#: relabel joins (map-side, no shuffle of the big edge table); above it
+#: the joins shuffle — the 100 TB / giant-n path
+BCAST_RANK_MAX = int(os.environ.get("PGB_TRI_BCAST_RANK_MAX", "10000000"))
+
+
+def _oriented_ranked_df(edges: DataFrame, num_buckets: int = 32, n: int | None = None):
+    """Spark-side degree-ordered orientation in (deg, id)-RANK space.
+
+    Fully distributed and shuffle-lean: ONE distinct over canonical
+    undirected pairs (least, greatest) — half the rows of the
+    symmetrize-both-directions plan — then degree via explode, a dense
+    (deg, id) rank built with the bucketed row_number + prefix-offset
+    pattern (no global window), and two relabel joins that broadcast
+    the rank table when it fits (``BCAST_RANK_MAX``). Emitted edge ids
+    ARE the (deg, id) total order, so orientation is simply
+    ``rank_src < rank_dst`` and the kernel closes each wedge with ONE
+    key probe (``_closures_for_segments(ranked=True)``).
+
+    Returns (oriented_df, n_ranked, pinned) — ids in [0, n_ranked);
+    ``pinned`` DataFrames must stay persisted until the caller has
+    materialized ``oriented_df``."""
+    from pyspark.sql import Window
+
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    with_deg = (
-        sym.join(
-            deg.withColumnRenamed("src", "u").withColumnRenamed("deg", "du"),
-            sym["src"] == F.col("u"),
-        )
-        .join(
-            deg.withColumnRenamed("src", "v").withColumnRenamed("deg", "dv"),
-            sym["dst"] == F.col("v"),
-        )
-        .select("src", "dst", "du", "dv")
+    if n is not None:
+        # dedup on ONE packed int64 column — half the shuffle bytes of
+        # a two-column distinct (the tier already requires packable ids)
+        packed = e.select(
+            (F.least("src", "dst") * n + F.greatest("src", "dst")).alias("k")
+        ).distinct()
+        # integer `div`, NOT float division (which rounds at large n)
+        canon = packed.select(
+            F.expr(f"k div {n}").alias("a"), F.pmod("k", F.lit(n)).alias("b")
+        ).persist()
+    else:
+        canon = e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        ).distinct().persist()
+    deg = (
+        canon.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
     )
-    return with_deg.filter(
-        (F.col("du") < F.col("dv"))
-        | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
-    ).select("src", "dst")
+    part = (
+        deg.repartitionByRange(num_buckets, "deg", "v")
+        .withColumn("part", F.spark_partition_id())
+        .persist()
+    )
+    counts = part.groupBy("part").agg(F.count(F.lit(1)).alias("cnt"))
+    # prefix window runs over the tiny per-bucket count table only
+    prefix = Window.orderBy("part").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "part", F.coalesce(F.sum("cnt").over(prefix), F.lit(0)).alias("off")
+    )
+    n_ranked = int(part.count())
+    wp = Window.partitionBy("part").orderBy("deg", "v")
+    rank = (
+        part.withColumn("rn", F.row_number().over(wp))
+        .join(F.broadcast(offsets), "part")
+        .select("v", (F.col("off") + F.col("rn") - 1).alias("r"))
+    )
+    if n_ranked <= BCAST_RANK_MAX:
+        rank = F.broadcast(rank)
+    ranked = (
+        canon.join(rank.withColumnsRenamed({"v": "u1", "r": "ra"}), canon["a"] == F.col("u1"))
+        .join(rank.withColumnsRenamed({"v": "u2", "r": "rb"}), canon["b"] == F.col("u2"))
+        .select("ra", "rb")
+    )
+    oriented = ranked.select(
+        F.least("ra", "rb").alias("src"), F.greatest("ra", "rb").alias("dst")
+    )
+    return oriented, n_ranked, [canon, part]
 
 
 def triangle_count_blocked(
     edges: DataFrame, n: int, num_blocks: int | None = None
 ) -> int:
-    """Blocked tier: Spark orients; each src-block enumerates + closes
-    its wedges against one shared sorted key array."""
+    """Blocked tier: Spark orients in (deg, id)-rank space; each
+    src-block enumerates + closes its wedges with one probe per wedge
+    against one shared CSR index (tmpfs mmap locally, broadcast on a
+    cluster)."""
     import pyarrow as pa
 
     spark = edges.sparkSession
@@ -216,30 +288,40 @@ def triangle_count_blocked(
         num_blocks = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     local_mode = sc.master.startswith("local")
 
-    oriented = _oriented_df(edges).persist()
-    # one pull of the oriented keys -> the shared membership array
+    oriented, n_ranked, pinned = _oriented_ranked_df(edges, num_blocks, n=n)
+    n = n_ranked  # pair keys pack against the (tighter) ranked domain
+    oriented = oriented.persist()
+    # one pull of the oriented keys -> the shared CSR probe index
     ktbl = oriented.select((F.col("src") * n + F.col("dst")).alias("k")).toArrow()
     keys = np.sort(
         np.asarray(ktbl.column("k").to_numpy(zero_copy_only=False), dtype="int64")
     )
+    for p in pinned:
+        p.unpersist()
+    ptr, dsts = _csr_index(keys, n)
+    del keys
 
-    path = bcast = None
+    ptr_path = dst_path = ptr_b = dst_b = None
     if local_mode:
         import tempfile
 
         base = "/dev/shm" if os.path.isdir("/dev/shm") else None
         tmpdir = tempfile.mkdtemp(prefix="pgb_tri_", dir=base)
-        path = os.path.join(tmpdir, "keys.npy")
-        np.save(path, keys)
+        ptr_path = os.path.join(tmpdir, "ptr.npy")
+        dst_path = os.path.join(tmpdir, "dsts.npy")
+        np.save(ptr_path, ptr)
+        np.save(dst_path, dsts)
     else:
-        bcast = sc.broadcast(keys)
+        ptr_b = sc.broadcast(ptr)
+        dst_b = sc.broadcast(dsts)
 
     blocks = oriented.repartition(num_blocks, "src").sortWithinPartitions(
         "src", "dst"
     )
 
-    def count(batches, p=path, b=bcast, nn=n):
-        kv = np.load(p, mmap_mode="r") if p is not None else b.value
+    def count(batches, pp=ptr_path, dp=dst_path, pb=ptr_b, db=dst_b):
+        pv = np.load(pp, mmap_mode="r") if pp is not None else pb.value
+        dv = np.load(dp, mmap_mode="r") if dp is not None else db.value
         us, vs = [], []
         for bt in batches:
             us.append(bt.column("src").to_numpy(zero_copy_only=False))
@@ -248,7 +330,7 @@ def triangle_count_blocked(
             u = np.asarray(np.concatenate(us), dtype="int64")
             v = np.asarray(np.concatenate(vs), dtype="int64")
             starts, dst = _segments_from_sorted(u, v)
-            t = _closures_for_segments(dst, starts, kv, nn)
+            t = _closures_for_segments(dst, starts, pv, dv)
         else:
             t = 0
         yield pa.RecordBatch.from_arrays(
@@ -260,9 +342,10 @@ def triangle_count_blocked(
         return int(sum(tbl.column("t").to_pylist()))
     finally:
         oriented.unpersist()
-        if bcast is not None:
-            bcast.unpersist()
-        if path is not None:
+        for b in (ptr_b, dst_b):
+            if b is not None:
+                b.unpersist()
+        if ptr_path is not None:
             import shutil
 
-            shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+            shutil.rmtree(os.path.dirname(ptr_path), ignore_errors=True)

@@ -194,6 +194,53 @@ def test_pagerank_resume_from_checkpoint(spark, tmp_path):
     assert a == pytest.approx(b)
 
 
+def test_warm_start_continues_runs(spark, tmp_path):
+    """Splitting a run at iteration k and continuing via init/
+    start_iteration reproduces the unsplit run exactly — the
+    north-rule 'resume mid-iteration' path, across every engine tier."""
+    from pygraphblas_spark.plans.checkpoint import CheckpointManager
+
+    e = edges_df(spark, PR_I, PR_J)
+
+    for strategy in ("kernel", "shuffle"):
+        straight = {
+            r["id"]: r["rank"]
+            for r in pagerank(
+                e, n=PR_N, tol=0.0, max_iters=6, strategy=strategy
+            ).collect()
+        }
+        root = str(tmp_path / f"pr_{strategy}")
+        ck = CheckpointManager(root=root, interval=1, algorithm="pagerank")
+        pagerank(e, n=PR_N, tol=0.0, max_iters=3, strategy=strategy, checkpoint=ck)
+        it, states, _ = CheckpointManager.resume(spark, root)
+        assert it == 3
+        ck2 = CheckpointManager(root=str(tmp_path / f"pr2_{strategy}"),
+                                interval=1, algorithm="pagerank")
+        cont = pagerank(
+            e, n=PR_N, tol=0.0, max_iters=3, strategy=strategy,
+            init=states["rank"], start_iteration=it, checkpoint=ck2,
+        )
+        got = {r["id"]: r["rank"] for r in cont.collect()}
+        assert got == pytest.approx(straight, abs=1e-12), strategy
+        # records continue the original numbering
+        assert [r["iteration"] for r in ck2.records] == [4, 5, 6]
+
+    for algo, col in ((connected_components, "component"),
+                      (label_propagation, "label")):
+        for strategy in ("kernel", "join"):
+            straight = {
+                r["id"]: r[col]
+                for r in algo(e, n=PR_N, max_iters=4, strategy=strategy).collect()
+            }
+            half = algo(e, n=PR_N, max_iters=2, strategy=strategy)
+            cont = algo(
+                e, n=PR_N, max_iters=2, strategy=strategy,
+                init=half, start_iteration=2,
+            )
+            got = {r["id"]: r[col] for r in cont.collect()}
+            assert got == straight, (algo.__name__, strategy)
+
+
 def test_betweenness_matches_brandes_oracle(spark):
     """Batched-source Brandes vs the plain-Python oracle, directed and
     undirected, on the canonical 7-node doc graph."""
