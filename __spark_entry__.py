@@ -357,6 +357,42 @@ e AS MATERIALIZED (
 """ + _pagerank_unroll(iters, damping)
 
 
+_EMB_DIM = 64  # embeddings.parquet vector dimension
+
+
+def _duck_bucket_expr(planes: int, t: int) -> str:
+    """DuckDB twin of similarity.lsh_bucket_key (sha256 mode): the same
+    Python-precomputed hyperplanes as literals, Spark's exact fold order
+    (float multiply, sequential double accumulation)."""
+    from pygraphblas_spark.pipeline.similarity import hyperplane_values
+
+    hv = hyperplane_values(planes, t, _EMB_DIM)
+    bits = []
+    for p in range(planes):
+        lit = "[" + ", ".join(repr(x) for x in hv[p]) + "]"
+        proj = (
+            f"list_reduce(list_transform(embedding, "
+            f"(x, i) -> CAST(x AS DOUBLE) * ({lit})[i]), (a, b) -> a + b)"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _duck_dot(a: str, b: str) -> str:
+    """DuckDB twin of similarity._dot's fold order."""
+    return (
+        f"list_reduce(list_transform({a}, (x, i) -> "
+        f"CAST(x * ({b})[i] AS DOUBLE)), (p, q) -> p + q)"
+    )
+
+
+def _duck_norm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform({a}, x -> "
+        f"CAST(x AS DOUBLE) * x), (p, q) -> p + q))"
+    )
+
+
 def _embedding_near_dup_oracle(
     planes: int = 4, tables: int = 8, threshold: float = 0.35
 ) -> str:
@@ -364,36 +400,9 @@ def _embedding_near_dup_oracle(
     hyperplanes (similarity.hyperplane_values) are embedded as literals;
     dot products mirror Spark's fold exactly (float multiply, sequential
     double accumulation), so buckets AND cosines agree bit-for-bit."""
-    from pygraphblas_spark.pipeline.similarity import hyperplane_values
-
-    dim = 64  # embeddings.parquet vector dimension
-
-    def bucket_expr(t):
-        hv = hyperplane_values(planes, t, dim)
-        bits = []
-        for p in range(planes):
-            lit = "[" + ", ".join(repr(x) for x in hv[p]) + "]"
-            proj = (
-                f"list_reduce(list_transform(embedding, "
-                f"(x, i) -> CAST(x AS DOUBLE) * ({lit})[i]), (a, b) -> a + b)"
-            )
-            bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
-        return " + ".join(bits)
-
-    def dot(a, b):
-        return (
-            f"list_reduce(list_transform({a}, (x, i) -> "
-            f"CAST(x * ({b})[i] AS DOUBLE)), (p, q) -> p + q)"
-        )
-
-    def norm(a):
-        return (
-            f"sqrt(list_reduce(list_transform({a}, x -> "
-            f"CAST(x AS DOUBLE) * x), (p, q) -> p + q))"
-        )
-
     per_table = " UNION ALL ".join(
-        f"SELECT vec_id, {t} AS tbl, {bucket_expr(t)} AS bucket FROM embeddings"
+        f"SELECT vec_id, {t} AS tbl, {_duck_bucket_expr(planes, t)} AS bucket "
+        "FROM embeddings"
         for t in range(tables)
     )
     return (
@@ -402,12 +411,41 @@ def _embedding_near_dup_oracle(
         "FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket "
         "WHERE a.vec_id < b.vec_id), "
         "scored AS (SELECT id_a, id_b, "
-        f"{dot('va.embedding', 'vb.embedding')} / "
-        f"({norm('va.embedding')} * {norm('vb.embedding')}) AS cos_exact "
+        f"{_duck_dot('va.embedding', 'vb.embedding')} / "
+        f"({_duck_norm('va.embedding')} * {_duck_norm('vb.embedding')}) AS cos_exact "
         "FROM cand JOIN embeddings va ON cand.id_a = va.vec_id "
         "JOIN embeddings vb ON cand.id_b = vb.vec_id) "
         "SELECT id_a, id_b, ROUND(cos_exact, 6) AS cos FROM scored "
         f"WHERE cos_exact >= {threshold}"
+    )
+
+
+def _lsh_topk_oracle(planes: int = 4, tables: int = 8, k: int = 5) -> str:
+    """LSH-bucketed top-k twin (similarity.lsh_bucketed_topk, sha256
+    mode): query vectors (vec_id < 8) join the base on shared
+    (table, bucket); exact-cosine re-rank on the candidate set only —
+    the oracle reproduces the approximation losses, not just the exact
+    answer."""
+    per_table = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_duck_bucket_expr(planes, t)} AS bucket "
+        "FROM embeddings"
+        for t in range(tables)
+    )
+    return (
+        f"WITH buckets AS MATERIALIZED ({per_table}), "
+        "cand AS (SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id "
+        "FROM buckets q JOIN buckets b ON q.tbl = b.tbl AND q.bucket = b.bucket "
+        "WHERE q.vec_id < 8 AND q.vec_id <> b.vec_id), "
+        "scored AS (SELECT query_id, neighbor_id, "
+        f"ROUND({_duck_dot('vq.embedding', 'vb.embedding')} / "
+        f"({_duck_norm('vq.embedding')} * {_duck_norm('vb.embedding')}), 6) AS cos "
+        "FROM cand JOIN embeddings vq ON cand.query_id = vq.vec_id "
+        "JOIN embeddings vb ON cand.neighbor_id = vb.vec_id), "
+        "ranked AS (SELECT query_id, neighbor_id, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) "
+        "SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank "
+        f"FROM ranked WHERE rank <= {k}"
     )
 
 
@@ -813,6 +851,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("val").getField("im").cast("long").alias("c_im"),
         )
 
+    def quality_score(spark, sf):
+        from pygraphblas_spark.pipeline.text import add_quality
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return add_quality(docs).select(
+            "doc_id",
+            "n_chars_q",
+            "punct_ratio",
+            "stopword_ratio",
+            "mean_word_len",
+            "quality_score",
+        )
+
+    def ngram_jaccard(spark, sf):
+        # exact inverted-index Jaccard (dedup.ngram_jaccard_pairs) — the
+        # ground truth the MinHash-LSH recall is measured against; the
+        # oracle computes all-pairs list_intersect, which is the same set
+        # for jaccard >= 0.5 (any qualifying pair shares shingles)
+        from pygraphblas_spark.pipeline.dedup import ngram_jaccard_pairs
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 300
+        )
+        return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
+
+    def kron_product(spark, sf):
+        # Kronecker product (reference matrix.py:2739): nation ⊗ region
+        # with integral values — index arithmetic is exact in BIGINT
+        from pygraphblas_spark.matrix import Matrix
+
+        nation = spark.read.parquet(f"{sf}/nation.parquet")
+        region = spark.read.parquet(f"{sf}/region.parquet")
+        a = Matrix.from_edge_df(
+            nation.select(
+                F.col("n_nationkey").alias("src"),
+                F.col("n_regionkey").alias("dst"),
+                (F.col("n_nationkey") + 1).cast("long").alias("val"),
+            ),
+            25,
+            5,
+            "INT64",
+        )
+        b = Matrix.from_edge_df(
+            region.select(
+                F.col("r_regionkey").alias("src"),
+                F.col("r_regionkey").alias("dst"),
+                (F.col("r_regionkey") + 1).cast("long").alias("val"),
+            ),
+            5,
+            5,
+            "INT64",
+        )
+        k = a.kronecker(b, "TIMES")
+        return k.df.select(
+            "src", "dst", F.col("val").cast("long").alias("kv")
+        )
+
+    def lsh_topk(spark, sf):
+        # LSH-bucketed ANN top-k in sha256 hash mode: buckets AND the
+        # rounded-cosine re-rank are bit-identical in DuckDB, so the
+        # oracle checks the approximation itself (candidate recall
+        # included), not merely the exact answer
+        from pygraphblas_spark.pipeline.similarity import lsh_bucketed_topk
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 8)
+        return lsh_bucketed_topk(
+            emb, q, k=5, planes=4, tables=8, hash_mode="sha256", dim=64
+        ).select("query_id", "neighbor_id", "rank")
+
+    def extract_row(spark, sf):
+        # Matrix.__getitem__[int] → row-extract Vector (reference
+        # matrix.py extract_row); deterministic row = min populated src
+        m = _qty_matrix(spark, sf, "A")
+        k = m.df.agg(F.min("src")).first()[0]
+        v = m[int(k)]
+        return v.df.select(
+            F.col("id").alias("dst"), F.col("val").cast("long").alias("qty")
+        )
+
     return {
         "out_degree": out_degree,
         "in_degree": in_degree,
@@ -847,6 +965,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini": gini_q,
         "ktruss": ktruss_q,
         "complex_mxm": complex_mxm,
+        "quality_score": quality_score,
+        "ngram_jaccard": ngram_jaccard,
+        "kron_product": kron_product,
+        "lsh_topk": lsh_topk,
+        "extract_row": extract_row,
     }
 
 
@@ -963,6 +1086,52 @@ def oracle_sql() -> dict[str, str]:
             "         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank "
             "  FROM scored) "
             "SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5"
+        ),
+        "quality_score": (
+            # mirrors pipeline/text.py add_quality term-for-term: same
+            # int/int double divisions, same least/linear combination;
+            # rounding is floor(x*1e6 + 0.5)/1e6 on BOTH sides (pure IEEE
+            # double ops — deterministic even on exact .5 boundaries,
+            # where decimal HALF_UP vs binary rounding diverge)
+            "WITH q AS (SELECT doc_id, length(text) AS n_chars, "
+            "length(regexp_replace(text, '[^.,;:!?''\"()\\[\\]{}-]', '', 'g')) AS n_punct, "
+            r"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words, "
+            r"len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b', 0)) AS stop_hits "
+            "FROM documents), "
+            "r AS (SELECT doc_id, n_chars, "
+            "CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_r, "
+            "CASE WHEN n_words > 0 THEN stop_hits / n_words ELSE 0.0 END AS stop_r, "
+            "CASE WHEN n_words > 0 THEN (n_chars - n_words + 1) / n_words ELSE 0.0 END AS mean_wl "
+            "FROM q) "
+            "SELECT doc_id, n_chars AS n_chars_q, "
+            "FLOOR(punct_r * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio, "
+            "FLOOR(stop_r * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio, "
+            "FLOOR(mean_wl * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len, "
+            "FLOOR((0.4 * LEAST(n_chars / 500.0, 1.0) "
+            "+ 0.3 * LEAST(stop_r * 5.0, 1.0) "
+            "+ 0.3 * (1.0 - LEAST(punct_r * 4.0, 1.0))) * 1000000.0 + 0.5) "
+            "/ 1000000.0 AS quality_score "
+            "FROM r"
+        ),
+        "ngram_jaccard": (
+            f"WITH d AS MATERIALIZED (SELECT doc_id, {_SHINGLES} AS sh "
+            "FROM documents WHERE doc_id < 300) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.sh, b.sh)) / "
+            "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard "
+            "FROM d a JOIN d b ON a.doc_id < b.doc_id "
+            "WHERE jaccard >= 0.5"
+        ),
+        "kron_product": (
+            "SELECT n.n_nationkey * 5 + r.r_regionkey AS src, "
+            "n.n_regionkey * 5 + r.r_regionkey AS dst, "
+            "CAST((n.n_nationkey + 1) * (r.r_regionkey + 1) AS BIGINT) AS kv "
+            "FROM nation n CROSS JOIN region r"
+        ),
+        "lsh_topk": _lsh_topk_oracle(planes=4, tables=8, k=5),
+        "extract_row": (
+            f"SELECT dst, CAST(val AS BIGINT) AS qty FROM {_MA} m "
+            f"WHERE src = (SELECT MIN(src) FROM {_MA})"
         ),
         "pagerank": _pagerank_oracle(iters=5, damping=0.85),
         "connected_components": _cc_oracle(),

@@ -285,6 +285,8 @@ def lsh_bucketed_topk(
     tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_mode: str = "xxhash",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ≥1 of
     ``tables`` hash tables; exact cosine re-rank on candidates only.
@@ -292,7 +294,9 @@ def lsh_bucketed_topk(
     Same output schema as the bruteforce path (rank may contain <k rows
     per query when buckets are sparse). The bucket join and the distinct
     carry only (tbl, bucket, id) — vectors are consumed computing the
-    bucket key and re-joined for the exact re-rank."""
+    bucket key and re-joined for the exact re-rank.
+    ``hash_mode='sha256'`` (requires ``dim``) makes the buckets
+    engine-portable (see ``lsh_bucket_key``) for cross-engine checks."""
     def bucketed(df, idname):
         v = F.col(vec_col)
         return df.select(
@@ -302,7 +306,9 @@ def lsh_bucketed_topk(
                     *[
                         F.struct(
                             F.lit(t).alias("tbl"),
-                            lsh_bucket_key(v, planes, t).alias("bucket"),
+                            lsh_bucket_key(
+                                v, planes, t, hash_mode=hash_mode, dim=dim
+                            ).alias("bucket"),
                         )
                         for t in range(tables)
                     ]

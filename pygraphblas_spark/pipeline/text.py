@@ -20,6 +20,15 @@ LANG_MARKERS = {
 }
 
 
+def _round6(c: Column) -> Column:
+    """Bit-deterministic 6-decimal rounding: floor(x*1e6 + 0.5)/1e6 —
+    pure IEEE double ops, so Spark and any SQL oracle engine produce the
+    same bits even when the true value sits exactly on a .5 boundary
+    (decimal HALF_UP vs binary round-half differ there across engines).
+    Non-negative inputs only."""
+    return F.floor(c * 1000000.0 + F.lit(0.5)).cast("double") / 1000000.0
+
+
 def _word_count(text: Column, word: str) -> Column:
     """Occurrences of a whole word, case-insensitive — regexp_count is
     JVM-side and identical in DuckDB."""
@@ -72,10 +81,10 @@ def add_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return (
         df.withColumn("n_chars_q", n_chars)
-        .withColumn("punct_ratio", F.round(punct_ratio, 6))
-        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
-        .withColumn("mean_word_len", F.round(mean_wl, 6))
-        .withColumn("quality_score", F.round(score, 6))
+        .withColumn("punct_ratio", _round6(punct_ratio))
+        .withColumn("stopword_ratio", _round6(stop_ratio))
+        .withColumn("mean_word_len", _round6(mean_wl))
+        .withColumn("quality_score", _round6(score))
     )
 
 
