@@ -921,6 +921,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, q, k=5, planes=4, tables=8, hash_mode="sha256", dim=64
         ).select("query_id", "neighbor_id", "rank")
 
+    def events_window(spark, sf):
+        # tumbling event-time windows via the streaming code path
+        # (streaming/core.py windowed_event_counts — watermark is a no-op
+        # on batch input, same plan as the live stream). Values summed as
+        # integer cents (floor(v*100+0.5), bit-deterministic) and the
+        # window key emitted as epoch seconds — both tz-independent, so
+        # the DuckDB twin is exact
+        from pygraphblas_spark.streaming.core import windowed_event_counts
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+            "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        )
+        w = windowed_event_counts(
+            ev,
+            window="1 hour",
+            watermark="2 hours",
+            by=("event_type",),
+            value_col="cents",
+        )
+        return w.select(
+            F.unix_timestamp("window_start").alias("ws"),
+            "event_type",
+            "n",
+            F.col("sum_value").cast("long").alias("cents"),
+        )
+
     def extract_row(spark, sf):
         # Matrix.__getitem__[int] → row-extract Vector (reference
         # matrix.py extract_row); deterministic row = min populated src
@@ -970,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kron_product": kron_product,
         "lsh_topk": lsh_topk,
         "extract_row": extract_row,
+        "events_window": events_window,
     }
 
 
@@ -1129,6 +1156,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM nation n CROSS JOIN region r"
         ),
         "lsh_topk": _lsh_topk_oracle(planes=4, tables=8, k=5),
+        "events_window": (
+            "SELECT (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) * 3600 AS ws, "
+            "event_type, COUNT(*) AS n, "
+            "SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents "
+            "FROM events GROUP BY 1, 2"
+        ),
         "extract_row": (
             f"SELECT dst, CAST(val AS BIGINT) AS qty FROM {_MA} m "
             f"WHERE src = (SELECT MIN(src) FROM {_MA})"

@@ -52,18 +52,31 @@ def windowed_event_counts(
     window: str = "1 minute",
     watermark: str = "2 minutes",
     ts_col: str = "ts",
+    by: tuple[str, ...] = (),
+    value_col: str | None = None,
 ) -> DataFrame:
     """Event-time tumbling-window counts with a watermark: late rows
     beyond ``watermark`` are dropped and their window state is evicted —
-    bounded state on an unbounded stream."""
+    bounded state on an unbounded stream.
+
+    ``by`` adds dimension keys to the window group; ``value_col`` adds
+    ``sum_value`` (callers wanting cross-engine-exact sums should pass an
+    integer column — double summation is order-dependent). Works on
+    batch DataFrames too (the watermark is a no-op there), so the same
+    code path serves backfill and live streams."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col)).alias("sum_value"))
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), *by)
+        .agg(*aggs)
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
+            *by,
             "n",
+            *(["sum_value"] if value_col is not None else []),
         )
     )
 
