@@ -139,8 +139,12 @@ def _closures_for_segments(
         hit = (lo <= end) & (dsts[np.minimum(lo, end)] == b)
         return int(hit.sum())
 
-    bounds = list(range(0, W, WEDGE_CHUNK))
-    chunks = [(p, min(p + WEDGE_CHUNK, W)) for p in bounds]
+    # chunk small enough that the pool actually engages: ~3 chunks per
+    # thread for load balance, floored at 256k wedges so per-chunk numpy
+    # overhead stays negligible, capped at WEDGE_CHUNK to bound memory
+    chunk = min(WEDGE_CHUNK, max(1 << 18, -(-W // (max(1, threads) * 3))))
+    bounds = list(range(0, W, chunk))
+    chunks = [(p, min(p + chunk, W)) for p in bounds]
     if threads > 1 and len(chunks) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
