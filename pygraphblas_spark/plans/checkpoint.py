@@ -89,6 +89,73 @@ def release_state(df: Optional[DataFrame]) -> int:
         return -1
 
 
+def _is_uri(path: str) -> bool:
+    return "://" in path
+
+
+def _hadoop_fs(path: str):
+    """(FileSystem, Path, jvm) for a URI-schemed path via the active
+    session — works on hdfs://, s3a://, gs://, file://, anything with a
+    registered Hadoop FileSystem."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            f"URI checkpoint root {path!r} needs an active SparkSession"
+        )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf), p, jvm
+
+
+def _fs_mkdirs(path: str) -> None:
+    if _is_uri(path):
+        fs, p, _ = _hadoop_fs(path)
+        fs.mkdirs(p)
+    else:
+        os.makedirs(path, exist_ok=True)
+
+
+def _fs_exists(path: str) -> bool:
+    if _is_uri(path):
+        fs, p, _ = _hadoop_fs(path)
+        return bool(fs.exists(p))
+    return os.path.exists(path)
+
+
+def _fs_write_text(path: str, text: str) -> None:
+    """Atomic-enough manifest write: local FS uses tmp + rename; object
+    stores get a single create(overwrite=True) — a PUT is atomic there
+    and Hadoop rename() is copy+delete on most of them anyway."""
+    if _is_uri(path):
+        fs, p, _ = _hadoop_fs(path)
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+    else:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+
+
+def _fs_read_text(path: str) -> str:
+    if _is_uri(path):
+        fs, p, jvm = _hadoop_fs(path)
+        stream = fs.open(p)
+        try:
+            # commons-io ships with Hadoop; avoids byte-by-byte py4j reads
+            return jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+    with open(path) as f:
+        return f.read()
+
+
 class CheckpointManager:
     """Durable (parquet) checkpoint + manifest for an iterative algorithm.
 
@@ -113,7 +180,7 @@ class CheckpointManager:
         self.records: list[dict] = []
         self._t0 = time.time()
         if self.durable:
-            os.makedirs(self.root, exist_ok=True)
+            _fs_mkdirs(self.root)
 
     @property
     def durable(self) -> bool:
@@ -195,10 +262,10 @@ class CheckpointManager:
             "params": self.params,
             "records": self.records,
         }
-        tmp = os.path.join(self.root, "manifest.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(tmp, os.path.join(self.root, "manifest.json"))
+        _fs_write_text(
+            os.path.join(self.root, "manifest.json"),
+            json.dumps(manifest, indent=1),
+        )
 
     # -- resume --
 
@@ -209,10 +276,9 @@ class CheckpointManager:
         """Load the latest durable iteration: returns (iteration,
         {state_name: DataFrame}, manifest) or None if no manifest."""
         path = os.path.join(root, "manifest.json")
-        if not os.path.exists(path):
+        if not _fs_exists(path):
             return None
-        with open(path) as f:
-            manifest = json.load(f)
+        manifest = json.loads(_fs_read_text(path))
         durable = [r for r in manifest["records"] if r.get("durable")]
         if not durable:
             return None

@@ -194,6 +194,30 @@ def test_pagerank_resume_from_checkpoint(spark, tmp_path):
     assert a == pytest.approx(b)
 
 
+def test_checkpoint_uri_root_via_hadoop_fs(spark, tmp_path):
+    """URI-schemed checkpoint roots (object stores) go through the Hadoop
+    FileSystem API for manifest I/O — exercised locally via file://."""
+    from pygraphblas_spark.plans.checkpoint import CheckpointManager
+
+    root = "file://" + str(tmp_path / "ckpt_uri")
+    ckpt = CheckpointManager(root=root, interval=1, algorithm="pagerank")
+    e = edges_df(spark, PR_I, PR_J)
+    got = pagerank(e, n=PR_N, max_iters=2, checkpoint=ckpt)
+    resumed = CheckpointManager.resume(spark, root)
+    assert resumed is not None
+    it, states, manifest = resumed
+    assert it == 2 and states["rank"].count() == PR_N
+    assert [r["iteration"] for r in manifest["records"]] == [1, 2]
+    a = {r["id"]: r["rank"] for r in got.collect()}
+    b = {r["id"]: r["rank"] for r in states["rank"].collect()}
+    assert a == pytest.approx(b)
+    # nonexistent URI root resolves cleanly to None, not an OSError
+    assert (
+        CheckpointManager.resume(spark, "file://" + str(tmp_path / "nope"))
+        is None
+    )
+
+
 def test_warm_start_continues_runs(spark, tmp_path):
     """Splitting a run at iteration k and continuing via init/
     start_iteration reproduces the unsplit run exactly — the
