@@ -947,6 +947,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("sum_value").cast("long").alias("cents"),
         )
 
+    def user_sessions(spark, sf):
+        # sessionization: F.session_window (the stateful streaming-capable
+        # session op) with a 30-minute gap; a new session starts when the
+        # inter-event gap is >= the window (windows are [t, t+gap) and
+        # merge only on overlap). The oracle replicates with lag + cumsum
+        # in integer microseconds — tz-independent and exact
+        ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+            "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        )
+        s = ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+        return s.select(
+            "user_id",
+            # ts is TIMESTAMP_NTZ; the session tz is pinned UTC
+            # (session.py) so the cast is epoch-identity
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias(
+                "session_start_us"
+            ),
+            "n",
+            F.col("cents").cast("long").alias("cents"),
+        )
+
     def extract_row(spark, sf):
         # Matrix.__getitem__[int] → row-extract Vector (reference
         # matrix.py extract_row); deterministic row = min populated src
@@ -997,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": lsh_topk,
         "extract_row": extract_row,
         "events_window": events_window,
+        "user_sessions": user_sessions,
     }
 
 
@@ -1161,6 +1185,20 @@ def oracle_sql() -> dict[str, str]:
             "event_type, COUNT(*) AS n, "
             "SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents "
             "FROM events GROUP BY 1, 2"
+        ),
+        "user_sessions": (
+            "WITH t AS (SELECT user_id, epoch_us(ts) AS us, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents, "
+            "CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts) >= 1800000000 "
+            "OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+            "THEN 1 ELSE 0 END AS new_s "
+            "FROM events), "
+            "s AS (SELECT user_id, us, cents, "
+            "SUM(new_s) OVER (PARTITION BY user_id ORDER BY us) AS sid FROM t) "
+            "SELECT user_id, MIN(us) AS session_start_us, "
+            "COUNT(*) AS n, SUM(cents) AS cents "
+            "FROM s GROUP BY user_id, sid"
         ),
         "extract_row": (
             f"SELECT dst, CAST(val AS BIGINT) AS qty FROM {_MA} m "
