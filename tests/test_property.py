@@ -1,0 +1,132 @@
+"""Property-based algebraic law tests (hypothesis) — the reference
+validates its semiring algebra with a 13-type × op cross-product of
+golden doctests (reference pygraphblas/tests/); here random sparse COO
+matrices check the LAWS themselves against dense numpy oracles:
+
+- mxm PLUS_TIMES == dense matmul (masked/unmasked)
+- (A @ B).T == B.T @ A.T           (transpose anti-distributes)
+- eadd PLUS is commutative; emult TIMES distributes over the pattern
+  intersection
+- reduce == dense sum; kron dims/values == np.kron
+
+Matrices stay tiny (≤6×6, ≤14 nnz) so each Spark action is cheap;
+examples are capped for suite runtime. Determinism: hypothesis derives
+data from its own PRNG seed, not wall-clock."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pygraphblas_spark.matrix import Matrix
+
+DIM = 6
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,  # stable corpus; no flaky CI reruns
+)
+
+
+@st.composite
+def coo(draw, dim=DIM, max_nnz=14):
+    """Random COO triple with unique (i, j) and small int64 values."""
+    cells = draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, dim - 1),
+                st.integers(0, dim - 1),
+                st.integers(-9, 9),
+            ),
+            max_size=max_nnz,
+            unique_by=lambda t: (t[0], t[1]),
+        )
+    )
+    I = [c[0] for c in cells]
+    J = [c[1] for c in cells]
+    V = [c[2] for c in cells]
+    return I, J, V
+
+
+def dense(I, J, V, dim=DIM):
+    m = np.zeros((dim, dim), dtype="int64")
+    for i, j, v in zip(I, J, V):
+        m[i, j] = v
+    return m
+
+
+def mat(spark, triple, dim=DIM):
+    I, J, V = triple
+    return Matrix.from_lists(spark, I, J, V, dim, dim, typ="INT64")
+
+
+def as_dense(m: Matrix, dim=DIM):
+    out = np.zeros((dim, dim), dtype="int64")
+    for i, j, v in zip(*m.to_lists()):
+        out[i, j] = v
+    return out
+
+
+@settings(**SETTINGS)
+@given(a=coo(), b=coo())
+def test_mxm_matches_numpy(spark, a, b):
+    got = as_dense(mat(spark, a).mxm(mat(spark, b), semiring="PLUS_TIMES"))
+    want = dense(*a) @ dense(*b)
+    # implicit zeros: a structural miss and a stored 0 both read as 0
+    assert (got == want).all()
+
+
+@settings(**SETTINGS)
+@given(a=coo(), b=coo())
+def test_transpose_antidistributes_over_mxm(spark, a, b):
+    A, B = mat(spark, a), mat(spark, b)
+    lhs = as_dense(A.mxm(B).transpose())
+    rhs = as_dense(B.transpose().mxm(A.transpose()))
+    assert (lhs == rhs).all()
+
+
+@settings(**SETTINGS)
+@given(a=coo(), b=coo())
+def test_eadd_plus_commutes_and_matches_numpy(spark, a, b):
+    A, B = mat(spark, a), mat(spark, b)
+    ab = as_dense(A.eadd(B, "PLUS"))
+    ba = as_dense(B.eadd(A, "PLUS"))
+    assert (ab == ba).all()
+    assert (ab == dense(*a) + dense(*b)).all()
+
+
+@settings(**SETTINGS)
+@given(a=coo(), b=coo())
+def test_emult_times_matches_numpy_on_intersection(spark, a, b):
+    A, B = mat(spark, a), mat(spark, b)
+    got = as_dense(A.emult(B, "TIMES"))
+    assert (got == dense(*a) * dense(*b)).all()
+
+
+@settings(**SETTINGS)
+@given(a=coo(), b=coo())
+def test_masked_mxm_is_unmasked_restricted_to_mask(spark, a, b):
+    A, B = mat(spark, a), mat(spark, b)
+    got = as_dense(A.mxm(B, mask=A))
+    full = dense(*a) @ dense(*b)
+    pattern = np.zeros((DIM, DIM), dtype=bool)
+    for i, j, v in zip(*a):
+        pattern[i, j] = v != 0  # value mask: stored zeros are false
+    assert (got == np.where(pattern, full, 0)).all()
+
+
+@settings(**SETTINGS)
+@given(a=coo())
+def test_reduce_and_kron_match_numpy(spark, a):
+    A = mat(spark, a)
+    assert A.reduce_int() == int(dense(*a).sum())
+    K = A.kronecker(A, "TIMES")
+    want = np.kron(dense(*a), dense(*a))
+    got = np.zeros((DIM * DIM, DIM * DIM), dtype="int64")
+    for i, j, v in zip(*K.to_lists()):
+        got[i, j] = v
+    assert (got == want).all()
