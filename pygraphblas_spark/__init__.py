@@ -21,7 +21,7 @@ physical plan; Arrow-vectorized kernels are used only where DataFrame ops
 cannot express the semantics (custom monoids, CSR SpMV fast path).
 """
 
-from pygraphblas_spark.session import get_spark
+from pygraphblas_spark.session import get_spark, options_get, options_set
 from pygraphblas_spark.algebra import (
     Accum,
     BinaryOp,
@@ -30,16 +30,44 @@ from pygraphblas_spark.algebra import (
     UnaryOp,
     binary_op,
     monoid,
+    select_op,
     semiring,
     unary_op,
 )
 from pygraphblas_spark.matrix import Matrix
 from pygraphblas_spark.vector import Vector
 from pygraphblas_spark.scalar import Scalar
+from pygraphblas_spark import descriptor
 from pygraphblas_spark.descriptor import Descriptor, T0, T1, C, S, R, RC, RS, RSC, T0T1
+from pygraphblas_spark.gbtypes import (
+    BOOL,
+    FC32,
+    FC64,
+    FP32,
+    FP64,
+    GxB_INDEX_MAX,
+    INT8,
+    INT16,
+    INT32,
+    INT64,
+    UINT8,
+    UINT16,
+    UINT32,
+    UINT64,
+    GBType,
+)
+from pygraphblas_spark import gbtypes as types  # reference `pygraphblas.types`
+
+# Engine identification, mirroring the reference's GxB version tuples
+# (reference __init__.py GxB_IMPLEMENTATION / GxB_SPEC): ours identifies
+# the Spark-native implementation against the GraphBLAS 2.0 spec surface.
+GxB_IMPLEMENTATION = (0, 1, 0)
+GxB_SPEC = (2, 0, 0)
 
 __all__ = [
     "get_spark",
+    "options_set",
+    "options_get",
     "Accum",
     "Matrix",
     "Vector",
@@ -52,6 +80,9 @@ __all__ = [
     "binary_op",
     "monoid",
     "semiring",
+    "select_op",
+    "descriptor",
+    "types",
     "Descriptor",
     "T0",
     "T1",
@@ -62,6 +93,23 @@ __all__ = [
     "RS",
     "RSC",
     "T0T1",
+    "GBType",
+    "BOOL",
+    "INT8",
+    "UINT8",
+    "INT16",
+    "UINT16",
+    "INT32",
+    "UINT32",
+    "INT64",
+    "UINT64",
+    "FP32",
+    "FP64",
+    "FC32",
+    "FC64",
+    "GxB_INDEX_MAX",
+    "GxB_IMPLEMENTATION",
+    "GxB_SPEC",
 ]
 
 __version__ = "0.1.0"

@@ -520,6 +520,21 @@ SELECT_OPS: dict[str, Callable] = {
     "LE_THUNK": lambda s, d, v, k: v <= k,
 }
 
+def select_op(name: str, fn: Callable = None) -> Callable:
+    """Look up or register a select op (reference selectop.py:31
+    ``select_op`` user-defined select operators).
+
+    ``fn`` is ``(src, dst, val, thunk) -> boolean Column`` — the same
+    signature the built-in table uses, so user ops compose with
+    ``Matrix.select(name, thunk)`` / ``Vector.select`` unchanged.
+    """
+    key = name.upper()
+    if fn is None:
+        return SELECT_OPS[key]
+    SELECT_OPS[key] = fn
+    return fn
+
+
 # Operator-symbol sugar used by Matrix.select / Vector.select, mirroring
 # the reference's string dispatch (matrix.py:2042-2140).
 SELECT_SYMBOLS = {

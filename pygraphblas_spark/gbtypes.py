@@ -153,3 +153,91 @@ def from_python_value(v) -> str:
     if isinstance(v, complex):
         return "FC64"
     raise TypeError(f"cannot infer GraphBLAS type for {type(v)}")
+
+
+# --------------------------------------------------------------------------
+# First-class type objects  (reference types.py:135-345: Type classes with
+# op attributes bound per type — FP64.PLUS_TIMES, FP64.PLUS_MONOID,
+# FP64.ABS — usable anywhere the engine accepts an op or a type name).
+#
+# GBType subclasses str so the whole string-keyed engine accepts the
+# objects transparently: Matrix.sparse(spark, FP64, ...) == "FP64".
+# Op attributes resolve lazily against the algebra registries through the
+# typed_* dispatchers, which also route complex types to the *_FC family.
+# --------------------------------------------------------------------------
+
+
+class GBType(str):
+    """A GraphBLAS scalar type usable as a type name *and* an op namespace.
+
+    >>> FP64.PLUS_TIMES      # typed Semiring (reference FP64.PLUS_TIMES)
+    >>> FP64.PLUS_MONOID     # typed Monoid
+    >>> FP64.PLUS            # typed BinaryOp (context manager: default combiner)
+    >>> FP64.ABS             # typed UnaryOp
+    """
+
+    __slots__ = ()
+
+    @property
+    def spark_type(self):
+        return spark_type(self)
+
+    @property
+    def default_zero(self):
+        return default_zero(self)
+
+    @property
+    def default_one(self):
+        return default_one(self)
+
+    def __repr__(self) -> str:
+        return f"<GBType {str.__str__(self)}>"
+
+    def __getattr__(self, name: str):
+        # Only ALL-CAPS op names resolve; everything else (dunders, pickle
+        # protocol probes) falls through to a normal AttributeError.
+        if name.startswith("_") or not name.isupper():
+            raise AttributeError(name)
+        from pygraphblas_spark import algebra
+
+        if name.endswith("_MONOID"):
+            try:
+                return algebra.typed_monoid(name[: -len("_MONOID")], self)
+            except (KeyError, NotImplementedError):
+                raise AttributeError(f"{self} has no monoid {name!r}")
+        for resolver in (algebra.typed_binary_op, algebra.typed_unary_op):
+            try:
+                return resolver(name, self)
+            except (KeyError, NotImplementedError):
+                pass
+        if "_" in name:
+            try:
+                return algebra.typed_semiring(name, self)
+            except (KeyError, NotImplementedError):
+                pass
+        raise AttributeError(f"{self} has no op {name!r}")
+
+
+BOOL = GBType("BOOL")
+INT8 = GBType("INT8")
+UINT8 = GBType("UINT8")
+INT16 = GBType("INT16")
+UINT16 = GBType("UINT16")
+INT32 = GBType("INT32")
+UINT32 = GBType("UINT32")
+INT64 = GBType("INT64")
+UINT64 = GBType("UINT64")
+FP32 = GBType("FP32")
+FP64 = GBType("FP64")
+FC32 = GBType("FC32")
+FC64 = GBType("FC64")
+
+ALL_TYPES = (
+    BOOL, INT8, UINT8, INT16, UINT16, INT32, UINT32,
+    INT64, UINT64, FP32, FP64, FC32, FC64,
+)
+
+# GrB_Index is uint64 but SuiteSparse caps indices at 2^60
+# (reference __init__.py GxB_INDEX_MAX); we keep the same cap so row/col
+# ids always fit Spark's signed LongType.
+GxB_INDEX_MAX = 1 << 60

@@ -399,6 +399,24 @@ class Matrix:
     ) -> "Matrix":
         return cls(spark.read.parquet(path), nrows, ncols, typ)
 
+    @classmethod
+    def from_tsv(
+        cls,
+        spark: SparkSession,
+        path: str,
+        typ: str = "FP64",
+        nrows: Optional[int] = None,
+        ncols: Optional[int] = None,
+        **kw,
+    ) -> "Matrix":
+        """Tab-separated edge list (reference from_tsv matrix.py:412)."""
+        return cls.from_csv(spark, path, typ, nrows, ncols, sep="\t", **kw)
+
+    # Reference binfile names (matrix.py:490 from_binfile / :935 to_binfile);
+    # the serialized form here is parquet, the engine's binary checkpoint.
+    to_binfile = binwrite
+    from_binfile = binread
+
     # ------------------------------------------------------------------
     # Shape / cardinality properties (reference matrix.py:652-776)
     # ------------------------------------------------------------------
@@ -424,6 +442,72 @@ class Matrix:
     def S(self) -> "Matrix":
         """Structural pattern, type-BOOL one (reference .S matrix.py:733)."""
         return self.pattern()
+
+    @property
+    def M(self) -> "Matrix":
+        """Structural "mask" pattern, alias of `S` (reference matrix.py:733)."""
+        return self.pattern()
+
+    @property
+    def type(self):
+        """The first-class type object (reference Matrix.type): an op
+        namespace, so reference idioms like ``A.apply(A.type.MINV)`` and
+        ``A.mxm(B, A.type.PLUS_TIMES)`` work unchanged."""
+        return gbtypes.GBType(self.typ)
+
+    gb_type = type
+
+    @property
+    def memory_usage(self) -> int:
+        """Estimated bytes held by this matrix (reference matrix.py:706
+        GxB_Matrix_memoryUsage). Uses Catalyst plan statistics — exact for
+        persisted/scanned data, a size estimate for derived plans."""
+        try:
+            return int(
+                self.df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            return self.nvals * 24  # (long, long, 8-byte value) per entry
+
+    def wait(self) -> "Matrix":
+        """Materialization barrier (reference matrix.py:3348 GrB_Matrix_wait):
+        SuiteSparse flushes pending tuples; the Spark analog is persisting
+        and forcing the lazy plan so later ops reuse the computed result
+        instead of re-running lineage."""
+        self.df = self.df.persist()
+        self.df.count()
+        return self
+
+    # SuiteSparse storage-layout knobs (reference matrix.py:777-890).
+    # Tungsten manages physical layout, so these are recorded advisory
+    # values that round-trip for API compatibility and change nothing.
+    @property
+    def hyper_switch(self) -> float:
+        return getattr(self, "_hyper_switch", 0.0625)
+
+    @hyper_switch.setter
+    def hyper_switch(self, v: float) -> None:
+        self._hyper_switch = float(v)
+
+    @property
+    def format(self) -> int:
+        return getattr(self, "_format", 0)  # GxB_BY_ROW
+
+    @format.setter
+    def format(self, v: int) -> None:
+        self._format = int(v)
+
+    @property
+    def sparsity(self) -> int:
+        return getattr(self, "_sparsity", 15)  # GxB_AUTO_SPARSITY
+
+    @sparsity.setter
+    def sparsity(self, v: int) -> None:
+        self._sparsity = int(v)
+
+    @property
+    def sparsity_status(self) -> int:
+        return 2  # "sparse" — COO rows in a DataFrame
 
     def dup(self) -> "Matrix":
         """Copy (reference matrix.py:754) — DataFrames are immutable, so
@@ -986,9 +1070,11 @@ class Matrix:
         return Matrix(merged, self.nrows, self.ncols, self.typ)
 
     def assign_matrix(
-        self, other: "Matrix", rows=None, cols=None, accum=None
+        self, other: "Matrix", rows=None, cols=None, accum=None, mask=None
     ) -> "Matrix":
-        """Submatrix upsert (reference matrix.py:3057)."""
+        """Submatrix upsert (reference matrix.py:3056 ``assign``; the
+        reference aliases ``assign = assign_matrix``). A structural
+        ``mask`` Matrix restricts which target cells are written."""
         r0, _ = _slice_bounds(rows, self.nrows)
         c0, _ = _slice_bounds(cols, self.ncols)
         shifted = other.df.select(
@@ -996,6 +1082,10 @@ class Matrix:
             (F.col("dst") + c0).alias("dst"),
             F.col(VAL).cast(gbtypes.spark_type(self.typ)),
         )
+        if mask is not None:
+            shifted = shifted.join(
+                mask.df.select("src", "dst"), on=EDGE_SCHEMA_KEYS, how="left_semi"
+            )
         if accum is not None:
             merged = core.ewise_add(
                 self.df, shifted, EDGE_SCHEMA_KEYS, _coerce_binop(accum)
@@ -1006,6 +1096,8 @@ class Matrix:
             )
             merged = shifted.unionByName(old_rest)
         return Matrix(merged, self.nrows, self.ncols, self.typ)
+
+    assign = assign_matrix  # reference matrix.py:3103
 
     def set_element(self, i: int, j: int, v) -> "Matrix":
         spark = self.df.sparkSession
@@ -1290,6 +1382,49 @@ class Matrix:
         pdf = self.df.orderBy("src", "dst").toPandas()
         return pdf["src"].to_numpy(), pdf["dst"].to_numpy(), pdf[VAL].to_numpy()
 
+    # Tuple-extraction family (reference matrix.py:1495-1607): each access
+    # is an action that collects via Arrow — small-graph inspection API,
+    # same contract as the reference's extractTuples-backed properties.
+    @property
+    def rows(self):
+        """numpy array of row indexes present (reference matrix.py:1495)."""
+        return self.to_arrays()[0]
+
+    @property
+    def I(self):  # noqa: E743 — reference name
+        """Iterator over `rows` (reference matrix.py:1512)."""
+        return iter(self.rows)
+
+    @property
+    def npI(self):
+        return self.rows
+
+    @property
+    def cols(self):
+        """numpy array of column indexes present (reference matrix.py:1532)."""
+        return self.to_arrays()[1]
+
+    @property
+    def J(self):
+        return iter(self.cols)
+
+    @property
+    def npJ(self):
+        return self.cols
+
+    @property
+    def vals(self):
+        """numpy array of stored values (reference matrix.py:1570)."""
+        return self.to_arrays()[2]
+
+    @property
+    def V(self):
+        return iter(self.vals)
+
+    @property
+    def npV(self):
+        return self.vals
+
     def to_scipy_sparse(self):
         """scipy COO (reference matrix.py:3516) — small graphs only."""
         import scipy.sparse as sp
@@ -1343,6 +1478,18 @@ class Matrix:
                 )
             )
         return "\n".join(lines)
+
+    def __str__(self) -> str:
+        return self.to_string()
+
+    def print(self, level: int = 2, name: str = "A", f=None) -> None:
+        """Diagnostic print (reference matrix.py:3443 GxB_Matrix_fprint)."""
+        import sys
+
+        f = f or sys.stdout
+        print(f"{name} <{self.typ} {self.nrows}x{self.ncols}>", file=f)
+        if level > 1:
+            print(self.to_string(), file=f)
 
     def to_markdown_table(self, title: str = "A") -> str:
         """Markdown render (reference matrix.py:3355)."""

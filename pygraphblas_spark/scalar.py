@@ -17,6 +17,30 @@ class Scalar:
     def from_value(cls, value) -> "Scalar":
         return cls(value)
 
+    @classmethod
+    def from_type(cls, typ) -> "Scalar":
+        """Empty scalar of a type (reference scalar.py:42)."""
+        return cls(None, str(typ))
+
+    def dup(self) -> "Scalar":
+        """Copy (reference scalar.py:35)."""
+        return Scalar(self.value, self.typ)
+
+    @property
+    def gb_type(self):
+        """First-class type object (reference scalar.py:59)."""
+        return gbtypes.GBType(self.typ)
+
+    type = gb_type
+
+    def wait(self) -> "Scalar":
+        """No-op materialization barrier (reference scalar.py:81) — a
+        Scalar holds a plain Python value, nothing is pending."""
+        return self
+
+    def __len__(self) -> int:
+        return self.nvals
+
     @property
     def nvals(self) -> int:
         return 0 if self.value is None else 1

@@ -66,3 +66,75 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# --------------------------------------------------------------------------
+# Global option surface  (reference base.py:49-130 options_set/options_get).
+#
+# SuiteSparse's knobs control its thread pool and storage formats; the
+# Spark-native analogs are session confs. Knobs with a real runtime-settable
+# Spark twin are applied to the active session immediately; the
+# storage-format knobs (hyper_switch / bitmap_switch / format) have no
+# meaning under Tungsten row/columnar management, so they are recorded and
+# echoed back (API compat for ported code) but change nothing.
+# --------------------------------------------------------------------------
+
+_OPTIONS: dict = {
+    "nthreads": None,       # -> spark.sql.shuffle.partitions
+    "chunk": None,          # -> arrow maxRecordsPerBatch
+    "burble": 0,            # -> driver log level INFO/WARN
+    "hyper_switch": 0.0625, # advisory only (SuiteSparse default echoed)
+    "bitmap_switch": [0.04, 0.05, 0.06, 0.08, 0.1, 0.2, 0.3, 0.4],
+    "format": 0,            # GxB_BY_ROW; storage is Tungsten-managed
+}
+
+
+def options_set(
+    nthreads=None,
+    chunk=None,
+    burble=None,
+    hyper_switch=None,
+    bitmap_switch=None,
+    format=None,
+) -> None:
+    """Set global engine options (reference base.py:49).
+
+    ``nthreads`` maps to ``spark.sql.shuffle.partitions`` (the engine's
+    parallel-work knob), ``chunk`` to the Arrow batch size crossing the
+    Python boundary, ``burble`` to driver log verbosity. The SuiteSparse
+    storage-format knobs are accepted for compatibility and recorded only.
+    """
+    active = SparkSession.getActiveSession()
+    if nthreads is not None:
+        _OPTIONS["nthreads"] = int(nthreads)
+        if active is not None:
+            active.conf.set("spark.sql.shuffle.partitions", str(int(nthreads)))
+    if chunk is not None:
+        _OPTIONS["chunk"] = int(chunk)
+        if active is not None:
+            active.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", str(int(chunk))
+            )
+    if burble is not None:
+        _OPTIONS["burble"] = int(burble)
+        if active is not None:
+            active.sparkContext.setLogLevel("INFO" if burble else "WARN")
+    if hyper_switch is not None:
+        _OPTIONS["hyper_switch"] = float(hyper_switch)
+    if bitmap_switch is not None:
+        _OPTIONS["bitmap_switch"] = list(bitmap_switch)
+    if format is not None:
+        _OPTIONS["format"] = format
+
+
+def options_get() -> dict:
+    """Get global engine options (reference base.py:98), reading the live
+    session confs for the knobs that have Spark twins."""
+    out = dict(_OPTIONS)
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        out["nthreads"] = int(active.conf.get("spark.sql.shuffle.partitions"))
+        out["chunk"] = int(
+            active.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        )
+    return out

@@ -175,6 +175,81 @@ class Vector:
     def S(self) -> "Vector":
         return self.pattern()
 
+    @property
+    def type(self):
+        """First-class type object (reference Vector.type) — an op
+        namespace: ``v.apply(v.type.MINV)`` works as in the reference."""
+        return gbtypes.GBType(self.typ)
+
+    gb_type = type
+
+    @property
+    def memory_usage(self) -> int:
+        """Estimated bytes held (reference vector.py:542)."""
+        try:
+            return int(
+                self.df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            return self.nvals * 16
+
+    def wait(self) -> "Vector":
+        """Materialization barrier (reference vector.py:1591): persist and
+        force the lazy plan so later ops reuse the computed result."""
+        self.df = self.df.persist()
+        self.df.count()
+        return self
+
+    # SuiteSparse storage knobs (reference vector.py:403-451) — advisory
+    # round-trip only; physical layout is Tungsten-managed.
+    @property
+    def hyper_switch(self) -> float:
+        return getattr(self, "_hyper_switch", 0.0625)
+
+    @hyper_switch.setter
+    def hyper_switch(self, v: float) -> None:
+        self._hyper_switch = float(v)
+
+    @property
+    def sparsity(self) -> int:
+        return getattr(self, "_sparsity", 15)
+
+    @sparsity.setter
+    def sparsity(self, v: int) -> None:
+        self._sparsity = int(v)
+
+    @property
+    def sparsity_status(self) -> int:
+        return 2  # "sparse"
+
+    # Tuple-extraction family (reference vector.py:113-189): actions that
+    # collect via Arrow — small-vector inspection API.
+    @property
+    def indices(self):
+        """numpy array of present indexes (reference vector.py:113)."""
+        return self.to_arrays()[0]
+
+    @property
+    def I(self):  # noqa: E743 — reference name
+        return iter(self.indices)
+
+    @property
+    def npI(self):
+        return self.indices
+
+    @property
+    def vals(self):
+        """numpy array of stored values (reference vector.py:151)."""
+        return self.to_arrays()[1]
+
+    @property
+    def V(self):
+        return iter(self.vals)
+
+    @property
+    def npV(self):
+        return self.vals
+
     def dup(self) -> "Vector":
         return Vector(self.df, self.size, self.typ)
 
@@ -663,6 +738,11 @@ class Vector:
     def __neg__(self):
         return self.apply("AINV")
 
+    def __invert__(self):
+        # Reference ~v applies MINV (vector.py:1051); BOOL gets logical not,
+        # mirroring Matrix.__invert__.
+        return self.apply("LNOT" if self.typ == "BOOL" else "MINV")
+
     @staticmethod
     def _sugar_op(default: str):
         from pygraphblas_spark.algebra import current_binop
@@ -714,6 +794,25 @@ class Vector:
 
     def __len__(self):
         return self.nvals
+
+    def to_string(self, empty: str = "") -> str:
+        """Small-vector debug render (reference vector.py:1595)."""
+        d = self.to_dict()
+        return "\n".join(
+            f"{i}| {d[i] if i in d else empty}" for i in range(self.size)
+        )
+
+    def __str__(self) -> str:
+        return self.to_string()
+
+    def print(self, level: int = 2, name: str = "v", f=None) -> None:
+        """Diagnostic print (reference vector.py:1619)."""
+        import sys
+
+        f = f or sys.stdout
+        print(f"{name} <{self.typ} size={self.size}>", file=f)
+        if level > 1:
+            print(self.to_string(), file=f)
 
     def __repr__(self):
         return f"<Vector {self.typ} size={self.size}>"
