@@ -108,3 +108,30 @@ def draw(obj, name: str = "", **kw):
 draw_graph = graph_dot
 draw_vector_dot = vector_dot
 draw_matrix = matrix_dot
+
+
+def cy_matrix(M, directed: bool = True) -> dict:
+    """Cytoscape-JSON graph dict (reference gviz.py:446) — pure data, so
+    it works without cyjupyter; feed it to any cytoscape renderer."""
+    nodes: dict = {}
+    edges = []
+    i, j, v = M.to_arrays()
+    order = sorted(range(len(i)), key=lambda k: (int(i[k]), int(j[k])))
+    for k in order:
+        a, b, w = int(i[k]), int(j[k]), v[k]
+        edges.append(
+            {"data": {"id": f"{a}:{b}:{_fmt(w)}", "source": str(a), "target": str(b)}}
+        )
+        nodes.setdefault(a, {"data": {"id": str(a)}})
+        nodes.setdefault(b, {"data": {"id": str(b)}})
+    return {
+        "directed": directed,
+        "elements": {"nodes": list(nodes.values()), "edges": edges},
+    }
+
+
+def draw_cy(M, **kw):  # pragma: no cover — cyjupyter not in the sandbox
+    """Interactive cytoscape widget (reference gviz.py:492)."""
+    from cyjupyter import Cytoscape
+
+    return Cytoscape(data=cy_matrix(M), **kw)

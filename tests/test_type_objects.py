@@ -233,3 +233,13 @@ def test_viz_dot_sources(spark):
 
     grid = viz.matrix_dot(m)
     assert "<TABLE" in grid and "<TD>2</TD>" in grid
+
+
+def test_cy_matrix_json(spark):
+    from pygraphblas_spark.viz import cy_matrix
+
+    m = Matrix.from_lists(spark, [1, 0], [2, 1], [5.0, 3.0], 3, 3)
+    d = cy_matrix(m)
+    assert d["directed"] is True
+    assert [n["data"]["id"] for n in d["elements"]["nodes"]] == ["0", "1", "2"]
+    assert d["elements"]["edges"][0]["data"]["source"] == "0"
