@@ -980,6 +980,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id").alias("dst"), F.col("val").cast("long").alias("qty")
         )
 
+    def mxm_masked_accum(spark, sf):
+        # The full GraphBLAS write rule through one mxm: C<M> ⊕= AᵀA
+        # (mask pushdown + accum merge, reference matrix.py:2401 +
+        # operators/core.py finalize). C0 = AᵀA co-occurrence counts,
+        # M = structural mask of cells with count > 2, accum = PLUS:
+        # in-mask cells double, out-of-mask cells pass through.
+        e = _edges(spark, sf)
+        m = Matrix.from_edge_df(e, 1 << 40, 1 << 40, "INT64")
+        c0 = m.mxm(m, semiring="PLUS_PAIR", desc=descriptor.T0)
+        mask = c0.select(">", 2)
+        r = m.mxm(
+            m,
+            semiring="PLUS_PAIR",
+            desc=descriptor.T0,
+            mask=mask,
+            accum="PLUS",
+            out=c0,
+        )
+        return r.df.select(
+            F.col("src").alias("p1"),
+            F.col("dst").alias("p2"),
+            F.col("val").alias("n"),
+        )
+
+    def sssp_weighted(spark, sf):
+        # weighted min-plus SSSP (Bellman-Ford fixpoint) on a deterministic
+        # synthetic DAG: nodes 0..199, line edges i→i+1 with weight i%5+1,
+        # chord edges i→i+7 with weight 3 — chords make shortest paths
+        # non-trivial while keeping the recursive-CTE oracle bounded.
+        from pygraphblas_spark.algorithms import sssp
+
+        n = 200
+        line = spark.range(n - 1).select(
+            F.col("id").alias("src"),
+            (F.col("id") + 1).alias("dst"),
+            (F.col("id") % 5 + 1).cast("double").alias("val"),
+        )
+        chords = spark.range(n - 7).select(
+            F.col("id").alias("src"),
+            (F.col("id") + 7).alias("dst"),
+            F.lit(3.0).alias("val"),
+        )
+        return sssp(line.unionByName(chords), 0, max_iters=80).select(
+            "id", F.col("dist").cast("double").alias("dist")
+        )
+
     return {
         "out_degree": out_degree,
         "in_degree": in_degree,
@@ -1021,6 +1067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_row": extract_row,
         "events_window": events_window,
         "user_sessions": user_sessions,
+        "mxm_masked_accum": mxm_masked_accum,
+        "sssp_weighted": sssp_weighted,
     }
 
 
@@ -1203,6 +1251,30 @@ def oracle_sql() -> dict[str, str]:
         "extract_row": (
             f"SELECT dst, CAST(val AS BIGINT) AS qty FROM {_MA} m "
             f"WHERE src = (SELECT MIN(src) FROM {_MA})"
+        ),
+        "mxm_masked_accum": (
+            # C<M> ⊕= AᵀA with C = AᵀA, M = (C > 2) structural, accum PLUS:
+            # masked cells double, the rest pass through unchanged
+            f"WITH co AS (SELECT l1.dst AS p1, l2.dst AS p2, COUNT(*) AS n "
+            f"FROM {_E} l1 JOIN {_E} l2 ON l1.src = l2.src GROUP BY 1, 2) "
+            "SELECT p1, p2, CASE WHEN n > 2 THEN 2 * n ELSE n END AS n FROM co"
+        ),
+        "sssp_weighted": (
+            # same synthetic DAG; UNION-dedup on (id, dist) bounds the
+            # recursion (dist values are small integral sums on a DAG)
+            "WITH RECURSIVE "
+            "e AS ( "
+            "  SELECT i AS src, i + 1 AS dst, CAST(i % 5 + 1 AS DOUBLE) AS w "
+            "  FROM range(199) t(i) "
+            "  UNION ALL "
+            "  SELECT i AS src, i + 7 AS dst, 3.0 AS w FROM range(193) t(i) "
+            "), "
+            "r(id, d) AS ( "
+            "  SELECT CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE) "
+            "  UNION "
+            "  SELECT e.dst, r.d + e.w FROM e JOIN r ON e.src = r.id "
+            ") "
+            "SELECT id, MIN(d) AS dist FROM r GROUP BY id"
         ),
         "pagerank": _pagerank_oracle(iters=5, damping=0.85),
         "connected_components": _cc_oracle(),
