@@ -130,3 +130,95 @@ def test_reduce_and_kron_match_numpy(spark, a):
     for i, j, v in zip(*K.to_lists()):
         got[i, j] = v
     assert (got == want).all()
+
+
+# ---------------------------------------------------------------------------
+# The GraphBLAS write rule, property-checked combinatorially:
+#   C<M> accum= (A[T0?] PLUS_TIMES B)  x  {value,structural} mask
+#   x {plain,complement} x {keep,replace} x {no-accum,PLUS-accum}
+# against a pattern-aware pure-Python oracle (dict COO). This is the rule
+# every reference operator funnels through (reference matrix.py:2380-2399 +
+# the C write rule); operators/core.py:finalize implements it.
+# ---------------------------------------------------------------------------
+
+
+def _coo_dict(triple):
+    I, J, V = triple
+    return {(i, j): v for i, j, v in zip(I, J, V)}
+
+
+def _mxm_oracle(a: dict, b: dict, transpose0=False) -> dict:
+    """T[i,k] = Σ_j a[i,j]·b[j,k] — stored whenever the join matches,
+    even if the sum is 0 (stored zeros are entries, like the engine)."""
+    if transpose0:
+        a = {(j, i): v for (i, j), v in a.items()}
+    out: dict = {}
+    for (i, j), av in a.items():
+        for (j2, k), bv in b.items():
+            if j == j2:
+                out[(i, k)] = out.get((i, k), 0) + av * bv
+    return out
+
+
+def _write_rule_oracle(c_old, t, m, accum, structural, complement, replace):
+    if accum:
+        z = dict(c_old)
+        for k, v in t.items():
+            z[k] = z[k] + v if k in z else v
+    else:
+        z = dict(t)
+    if m is None:
+        return z
+
+    def mask_true(k):
+        hit = k in m and (structural or bool(m[k]))
+        return (not hit) if complement else hit
+
+    out = {k: v for k, v in z.items() if mask_true(k)}
+    if not replace:
+        for k, v in c_old.items():
+            if not mask_true(k):
+                out[k] = v
+    return out
+
+
+@settings(max_examples=16, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture],
+          derandomize=True)
+@given(
+    a=coo(), b=coo(), c=coo(), m=coo(),
+    use_accum=st.booleans(),
+    structural=st.booleans(),
+    complement=st.booleans(),
+    replace=st.booleans(),
+    transpose0=st.booleans(),
+)
+def test_write_rule_matches_oracle(
+    spark, a, b, c, m, use_accum, structural, complement, replace, transpose0
+):
+    from pygraphblas_spark.descriptor import Descriptor
+
+    desc = Descriptor(
+        transpose0=transpose0,
+        mask_complement=complement,
+        mask_structural=structural,
+        replace=replace,
+    )
+    got = (
+        mat(spark, a)
+        .mxm(
+            mat(spark, b),
+            semiring="PLUS_TIMES",
+            mask=mat(spark, m),
+            accum="PLUS" if use_accum else None,
+            out=mat(spark, c),
+            desc=desc,
+        )
+        .to_dict()
+    )
+    t = _mxm_oracle(_coo_dict(a), _coo_dict(b), transpose0)
+    want = _write_rule_oracle(
+        _coo_dict(c), t, _coo_dict(m),
+        use_accum, structural, complement, replace,
+    )
+    assert got == want
