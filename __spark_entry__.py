@@ -980,6 +980,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id").alias("dst"), F.col("val").cast("long").alias("qty")
         )
 
+    def stride_extract(spark, sf):
+        # GxB_STRIDE range extract (reference base.py:216-250): every 3rd
+        # row position of the qty matrix, remapped to 0-based positions
+        m = _qty_matrix(spark, sf, "A")
+        s = m[0:299_999:3, :]
+        return s.df.select(
+            F.col("src").alias("rpos"),
+            F.col("dst").alias("part"),
+            F.col("val").cast("long").alias("qty"),
+        )
+
     def mxm_masked_accum(spark, sf):
         # The full GraphBLAS write rule through one mxm: C<M> ⊕= AᵀA
         # (mask pushdown + accum merge, reference matrix.py:2401 +
@@ -1067,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_row": extract_row,
         "events_window": events_window,
         "user_sessions": user_sessions,
+        "stride_extract": stride_extract,
         "mxm_masked_accum": mxm_masked_accum,
         "sssp_weighted": sssp_weighted,
     }
@@ -1251,6 +1263,11 @@ def oracle_sql() -> dict[str, str]:
         "extract_row": (
             f"SELECT dst, CAST(val AS BIGINT) AS qty FROM {_MA} m "
             f"WHERE src = (SELECT MIN(src) FROM {_MA})"
+        ),
+        "stride_extract": (
+            f"SELECT CAST(src / 3 AS BIGINT) AS rpos, dst AS part, "
+            f"CAST(val AS BIGINT) AS qty FROM {_MA} "
+            "WHERE src % 3 = 0 AND src <= 299999"
         ),
         "mxm_masked_accum": (
             # C<M> ⊕= AᵀA with C = AᵀA, M = (C > 2) structural, accum PLUS:

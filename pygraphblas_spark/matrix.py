@@ -966,10 +966,9 @@ class Matrix:
             if sel is None or (isinstance(sel, slice) and sel == slice(None)):
                 return df, dim, F.col(colname)
             if isinstance(sel, slice):
-                start = sel.start or 0
-                stop = dim - 1 if sel.stop is None else sel.stop  # GraphBLAS slices are INCLUSIVE
-                df = df.filter(F.col(colname).between(start, stop))
-                return df, stop - start + 1, F.col(colname) - start
+                start, stop, step, count = _slice_parts(sel, dim)
+                keep, pos = _stride_filter_pos(colname, start, stop, step)
+                return df.filter(keep), count, pos
             # explicit index list: remap to positions
             idx = list(sel)
             map_df = F.broadcast(
@@ -1044,12 +1043,16 @@ class Matrix:
                 "src", "dst", typ_col.alias(VAL)
             )
         else:
-            r0, r1 = _slice_bounds(rows, self.nrows)
-            c0, c1 = _slice_bounds(cols, self.ncols)
+            r0, r1, rs, _ = _slice_parts(rows, self.nrows)
+            c0, c1, cs, _ = _slice_parts(cols, self.ncols)
             target = (
-                spark.range(r0, r1 + 1)
+                spark.range(r0, r1 + (1 if rs > 0 else -1), rs)
                 .select(F.col("id").alias("src"))
-                .crossJoin(spark.range(c0, c1 + 1).select(F.col("id").alias("dst")))
+                .crossJoin(
+                    spark.range(c0, c1 + (1 if cs > 0 else -1), cs).select(
+                        F.col("id").alias("dst")
+                    )
+                )
                 .select("src", "dst", typ_col.alias(VAL))
             )
         merged = core.finalize(
@@ -1075,11 +1078,13 @@ class Matrix:
         """Submatrix upsert (reference matrix.py:3056 ``assign``; the
         reference aliases ``assign = assign_matrix``). A structural
         ``mask`` Matrix restricts which target cells are written."""
-        r0, _ = _slice_bounds(rows, self.nrows)
-        c0, _ = _slice_bounds(cols, self.ncols)
+        r0, _, rs, _ = _slice_parts(rows, self.nrows)
+        c0, _, cs, _ = _slice_parts(cols, self.ncols)
+        # position p of `other` lands at start + p*step — covers plain
+        # ranges (step 1), strides, and GxB_BACKWARDS (negative step)
         shifted = other.df.select(
-            (F.col("src") + r0).alias("src"),
-            (F.col("dst") + c0).alias("dst"),
+            (F.col("src") * rs + r0).alias("src"),
+            (F.col("dst") * cs + c0).alias("dst"),
             F.col(VAL).cast(gbtypes.spark_type(self.typ)),
         )
         if mask is not None:
@@ -1611,3 +1616,39 @@ def _slice_bounds(sel, dim: int) -> tuple[int, int]:
     if isinstance(sel, slice):
         return sel.start or 0, (dim - 1 if sel.stop is None else sel.stop)
     raise TypeError(f"bad range {sel!r}")
+
+
+def _slice_parts(sel, dim: int) -> tuple[int, int, int, int]:
+    """(start, stop, step, count) with GraphBLAS-inclusive stop; negative
+    step = GxB_BACKWARDS (reference _build_range base.py:216-250: GxB_RANGE
+    / GxB_STRIDE / GxB_BACKWARDS)."""
+    if sel is None:
+        sel = slice(None)
+    if isinstance(sel, int):
+        return sel, sel, 1, 1
+    step = 1 if sel.step is None else sel.step
+    if step == 0:
+        raise ValueError("slice step cannot be 0")
+    if step > 0:
+        start = sel.start or 0
+        stop = dim - 1 if sel.stop is None else sel.stop
+        count = 0 if start > stop else (stop - start) // step + 1
+    else:
+        start = dim - 1 if sel.start is None else sel.start
+        stop = 0 if sel.stop is None else sel.stop
+        count = 0 if start < stop else (start - stop) // (-step) + 1
+    return start, stop, step, count
+
+
+def _stride_filter_pos(colname: str, start: int, stop: int, step: int):
+    """(boolean filter Column, 0-based position Column) selecting the
+    stride start, start+step, ... — pure column expressions so the scan
+    predicate stays pushdown-able."""
+    c = F.col(colname)
+    if step > 0:
+        keep = c.between(start, stop) & (((c - start) % step) == 0)
+        pos = (c - start) / step
+    else:
+        keep = c.between(stop, start) & (((start - c) % (-step)) == 0)
+        pos = (start - c) / (-step)
+    return keep, pos.cast("long")

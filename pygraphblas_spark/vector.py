@@ -447,12 +447,12 @@ class Vector:
 
     def extract(self, sel) -> "Vector":
         if isinstance(sel, slice):
-            start = sel.start or 0
-            stop = self.size - 1 if sel.stop is None else sel.stop  # inclusive
-            df = self.df.filter(F.col("id").between(start, stop)).select(
-                (F.col("id") - start).alias("id"), F.col(VAL)
-            )
-            return Vector(df, stop - start + 1, self.typ)
+            from pygraphblas_spark.matrix import _slice_parts, _stride_filter_pos
+
+            start, stop, step, count = _slice_parts(sel, self.size)
+            keep, pos = _stride_filter_pos("id", start, stop, step)
+            df = self.df.filter(keep).select(pos.alias("id"), F.col(VAL))
+            return Vector(df, count, self.typ)
         idx = list(sel)
         spark = self.df.sparkSession
         map_df = F.broadcast(

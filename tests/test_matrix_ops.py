@@ -563,3 +563,41 @@ def test_ssget_local_collection(spark, tmp_path):
         list(Matrix.ssget(spark, "nope", collection_dir=str(tmp_path / "ss")))
     with _pytest.raises(FileNotFoundError):
         list(Matrix.ssget(spark, "anything", collection_dir=None))
+
+
+def test_stepped_and_backwards_slices(spark):
+    # GxB_STRIDE / GxB_BACKWARDS range semantics (reference base.py:216-250)
+    from pygraphblas_spark.matrix import Matrix
+    from pygraphblas_spark.vector import Vector
+
+    m = Matrix.from_lists(
+        spark, list(range(6)), list(range(6)), [10, 11, 12, 13, 14, 15], 6, 6
+    )
+    # stride: rows 0,2,4 land at positions 0,1,2
+    s = m[0:4:2, :]
+    assert s.shape == (3, 6)
+    assert s.to_dict() == {(0, 0): 10, (1, 2): 12, (2, 4): 14}
+    # backwards: rows 5,3,1 land at positions 0,1,2
+    b = m[5:1:-2, :]
+    assert b.shape == (3, 6)
+    assert b.to_dict() == {(0, 5): 15, (1, 3): 13, (2, 1): 11}
+
+    v = Vector.from_lists(spark, list(range(6)), [0.0, 1.0, 2.0, 3.0, 4.0, 5.0], 6)
+    assert v[0:5:2].to_dict() == {0: 0.0, 1: 2.0, 2: 4.0}
+    assert v[5:0:-2].to_dict() == {0: 5.0, 1: 3.0, 2: 1.0}
+
+
+def test_stepped_assign(spark):
+    from pygraphblas_spark.matrix import Matrix
+
+    m = Matrix.sparse(spark, "INT64", 6, 6)
+    sub = Matrix.from_lists(spark, [0, 1, 2], [0, 1, 2], [1, 2, 3], 3, 3)
+    # positions 0,1,2 of sub land at rows/cols 0,2,4
+    out = m.assign(sub, rows=slice(0, 4, 2), cols=slice(0, 4, 2))
+    assert out.to_dict() == {(0, 0): 1, (2, 2): 2, (4, 4): 3}
+    # backwards: positions land at 5,3,1
+    back = m.assign(sub, rows=slice(5, 1, -2), cols=slice(5, 1, -2))
+    assert back.to_dict() == {(5, 5): 1, (3, 3): 2, (1, 1): 3}
+    # stepped scalar assign rectangle
+    sc = m.assign_scalar(7, rows=slice(0, 4, 2), cols=slice(1, 1))
+    assert sc.to_dict() == {(0, 1): 7, (2, 1): 7, (4, 1): 7}
