@@ -222,3 +222,73 @@ def test_write_rule_matches_oracle(
         use_accum, structural, complement, replace,
     )
     assert got == want
+
+
+@st.composite
+def vcoo(draw, dim=DIM, max_nnz=8):
+    cells = draw(
+        st.lists(
+            st.tuples(st.integers(0, dim - 1), st.integers(-9, 9)),
+            max_size=max_nnz,
+            unique_by=lambda t: t[0],
+        )
+    )
+    return [c[0] for c in cells], [c[1] for c in cells]
+
+
+def _mxv_oracle(a: dict, v: dict, transpose0=False) -> dict:
+    if transpose0:
+        a = {(j, i): x for (i, j), x in a.items()}
+    out: dict = {}
+    for (i, k), av in a.items():
+        if k in v:
+            out[i] = out.get(i, 0) + av * v[k]
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture],
+          derandomize=True)
+@given(
+    a=coo(), v=vcoo(), w=vcoo(), m=vcoo(),
+    use_accum=st.booleans(),
+    structural=st.booleans(),
+    complement=st.booleans(),
+    replace=st.booleans(),
+    transpose0=st.booleans(),
+)
+def test_vector_write_rule_matches_oracle(
+    spark, a, v, w, m, use_accum, structural, complement, replace, transpose0
+):
+    # mxv funnels through the same finalize but has its own mask-pushdown
+    # branch (operators/contraction.py mxv) — property-check it separately.
+    from pygraphblas_spark.descriptor import Descriptor
+    from pygraphblas_spark.vector import Vector
+
+    def vec(t):
+        return Vector.from_lists(spark, t[0], t[1], DIM, typ="INT64")
+
+    desc = Descriptor(
+        transpose0=transpose0,
+        mask_complement=complement,
+        mask_structural=structural,
+        replace=replace,
+    )
+    got = (
+        mat(spark, a)
+        .mxv(
+            vec(v),
+            semiring="PLUS_TIMES",
+            mask=vec(m),
+            accum="PLUS" if use_accum else None,
+            out=vec(w),
+            desc=desc,
+        )
+        .to_dict()
+    )
+    t = _mxv_oracle(_coo_dict(a), dict(zip(*v)), transpose0)
+    want = _write_rule_oracle(
+        dict(zip(*w)), t, dict(zip(*m)),
+        use_accum, structural, complement, replace,
+    )
+    assert got == want
