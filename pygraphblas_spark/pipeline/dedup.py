@@ -123,6 +123,47 @@ def minhash_signatures(
     return shingled.select("doc_id", sig.alias("sig"))
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_mode: str = "xxhash",
+) -> DataFrame:
+    """(doc_id, band, bucket) LSH rows — the join key space for banded
+    MinHash. Public so incremental (streaming) dedup can bucket NEW
+    documents against a persisted corpus bucket table with identical
+    seeds (streaming/dedup.py)."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, hash_mode)
+
+    def band_bucket(b):
+        cols = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if hash_mode == "sha256":
+            return _sha60(
+                F.concat_ws(",", *[c.cast("string") for c in cols]), 10000 + b
+            )
+        return F.xxhash64(*cols)
+
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_bucket(b).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -141,32 +182,9 @@ def minhash_lsh_candidates(
     ``hash_mode='sha256'`` makes signatures AND band buckets
     cross-engine reproducible (DuckDB-oracle-checkable).
     """
-    assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, hash_mode)
-
-    def band_bucket(b):
-        cols = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-        if hash_mode == "sha256":
-            return _sha60(
-                F.concat_ws(",", *[c.cast("string") for c in cols]), 10000 + b
-            )
-        return F.xxhash64(*cols)
-
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        band_bucket(b).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = minhash_band_buckets(
+        df, id_col, text_col, num_perm, bands, shingle_n, hash_mode
+    )
     a = banded.select(
         F.col("band"), F.col("bucket"), F.col("doc_id").alias("id_a")
     )

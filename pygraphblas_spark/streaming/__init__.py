@@ -8,6 +8,10 @@ windowed event aggregation, a custom stateful operator
 and micro-batch graph maintenance via foreachBatch.
 """
 
+from pygraphblas_spark.streaming.dedup import (
+    incremental_dedup_maintenance,
+    stream_documents_from_files,
+)
 from pygraphblas_spark.streaming.core import (
     stream_edges_from_files,
     streaming_out_degree,
@@ -24,4 +28,6 @@ __all__ = [
     "windowed_event_counts",
     "run_to_completion",
     "incremental_graph_maintenance",
+    "incremental_dedup_maintenance",
+    "stream_documents_from_files",
 ]

@@ -1,0 +1,150 @@
+"""Streaming incremental deduplication — the ingest-time twin of the
+batch dedup pipeline (``pipeline/dedup.py``).
+
+A training-data corpus at 100 TB is not deduplicated in one batch job:
+documents arrive continuously and each micro-batch must be checked
+against everything already accepted. This module maintains, under one
+``corpus_root``:
+
+- ``docs/``     (doc_id, norm_sha, text)  — the accepted corpus
+- ``buckets/``  (doc_id, band, bucket)    — its MinHash-LSH band index
+
+Per micro-batch (foreachBatch, so the full batch DataFrame API is
+available):
+
+1. intra-batch exact dedup (min doc_id survives per norm_sha);
+2. exact dedup vs corpus: anti-join on norm_sha;
+3. near-dup vs corpus: band-bucket join of the new docs' LSH rows
+   against the persisted bucket table → candidate (new, old) pairs only
+   (never all-pairs), verified with exact shingle Jaccard; matches are
+   rejected;
+4. survivors (+ their bucket rows) are appended.
+
+Scale notes: every join is keyed (norm_sha / (band, bucket) / doc_id) —
+shuffle-partitioned, no broadcast of the corpus; the bucket table is the
+only thing the stream reads per batch, and at scale it would be bucketed
+by (band, bucket) so the candidate join co-locates. Seeds match the
+batch pipeline exactly (``minhash_band_buckets``), so a corpus built by
+the batch job and one built by the stream agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pygraphblas_spark.pipeline.dedup import (
+    _normalized,
+    _word_shingles,
+    minhash_band_buckets,
+)
+
+DOC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def stream_documents_from_files(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming document source: directory of JSON lines, fixed schema."""
+    return spark.readStream.schema(DOC_STREAM_SCHEMA).json(path)
+
+
+def _table_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf).exists(p)
+
+
+def incremental_dedup_maintenance(
+    spark: SparkSession,
+    stream_path: str,
+    corpus_root: str,
+    checkpoint_dir: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    hash_mode: str = "xxhash",
+):
+    """Run the incremental dedup over all currently-available stream input
+    (trigger availableNow) and block until done. Returns the query."""
+    docs_path = f"{corpus_root}/docs"
+    buckets_path = f"{corpus_root}/buckets"
+    documents = stream_documents_from_files(spark, stream_path)
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        staged = batch.select(
+            "doc_id", "text", F.sha2(_normalized(F.col("text")), 256).alias("norm_sha")
+        )
+        # 1. intra-batch exact dedup — deterministic min-id survivor
+        keep = staged.groupBy("norm_sha").agg(F.min("doc_id").alias("doc_id"))
+        staged = staged.join(keep, ["norm_sha", "doc_id"], "left_semi")
+
+        have_corpus = _table_exists(sess, docs_path)
+        if have_corpus:
+            corpus = sess.read.parquet(docs_path)
+            # 2. exact dedup vs corpus
+            staged = staged.join(
+                corpus.select("norm_sha"), "norm_sha", "left_anti"
+            )
+
+        new_buckets = minhash_band_buckets(
+            staged, "doc_id", "text", num_perm, bands, shingle_n, hash_mode
+        )
+
+        if have_corpus:
+            # 3. near-dup vs corpus: candidates from the bucket join only
+            old_buckets = sess.read.parquet(buckets_path)
+            cand = (
+                new_buckets.join(
+                    old_buckets.select(
+                        "band", "bucket", F.col("doc_id").alias("old_id")
+                    ),
+                    ["band", "bucket"],
+                )
+                .select("doc_id", "old_id")
+                .distinct()
+            )
+            sh_new = staged.select(
+                "doc_id", _word_shingles(F.col("text"), shingle_n).alias("sh_a")
+            )
+            sh_old = sess.read.parquet(docs_path).select(
+                F.col("doc_id").alias("old_id"),
+                _word_shingles(F.col("text"), shingle_n).alias("sh_b"),
+            )
+            rejected = (
+                cand.join(sh_new, "doc_id")
+                .join(sh_old, "old_id")
+                .filter(
+                    F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size(F.array_union("sh_a", "sh_b"))
+                    >= jaccard_threshold
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            staged = staged.join(rejected, "doc_id", "left_anti")
+            new_buckets = new_buckets.join(staged.select("doc_id"), "doc_id", "left_semi")
+
+        # 4. append survivors; buckets first would orphan on failure
+        # between writes, docs first only costs re-checking — docs first.
+        staged.select("doc_id", "norm_sha", "text").write.mode("append").parquet(
+            docs_path
+        )
+        new_buckets.write.mode("append").parquet(buckets_path)
+
+    q = (
+        documents.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

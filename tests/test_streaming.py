@@ -129,3 +129,50 @@ def test_stateful_degree_tracker(spark, tmp_path):
     assert rows[1]["degree"] == 2 and rows[1]["weight"] == 3.0
     assert rows[2]["degree"] == 1 and rows[2]["weight"] == 5.0
     assert not rows[1]["expired"] and not rows[2]["expired"]
+
+
+def test_incremental_dedup_maintenance(spark, tmp_path):
+    # two sequential availableNow runs = two micro-batch rounds against a
+    # persisted corpus: exact dup dropped, near-dup (one word changed)
+    # LSH-detected and dropped, fresh doc kept
+    from pygraphblas_spark.streaming import incremental_dedup_maintenance
+
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("lazy", "sleepy", 1)  # high Jaccard near-dup
+    fresh = "completely different content about spark streaming state stores " * 3
+
+    def write_batch(name, rows):
+        with open(stream_dir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    # round 1: establish the corpus; 11 is an intra-batch exact dup of 10
+    write_batch("b1.json", [
+        {"doc_id": 10, "text": base, "ts": "2026-01-01T00:00:00"},
+        {"doc_id": 11, "text": base.upper(), "ts": "2026-01-01T00:00:01"},
+    ])
+    incremental_dedup_maintenance(spark, str(stream_dir), corpus, ckpt)
+    docs = spark.read.parquet(f"{corpus}/docs")
+    assert [r["doc_id"] for r in docs.collect()] == [10]
+
+    # round 2: exact dup of 10, near-dup of 10, and a fresh doc
+    write_batch("b2.json", [
+        {"doc_id": 20, "text": base, "ts": "2026-01-01T01:00:00"},
+        {"doc_id": 21, "text": near, "ts": "2026-01-01T01:00:01"},
+        {"doc_id": 22, "text": fresh, "ts": "2026-01-01T01:00:02"},
+    ])
+    incremental_dedup_maintenance(spark, str(stream_dir), corpus, ckpt)
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{corpus}/docs").collect()
+    )
+    assert kept == [10, 22]
+    # the bucket index only holds accepted docs
+    bucket_ids = {
+        r["doc_id"] for r in spark.read.parquet(f"{corpus}/buckets").collect()
+    }
+    assert bucket_ids == {10, 22}
