@@ -136,10 +136,16 @@ _SHINGLES = (
 ).format(n=_NORM)
 
 
-def _minhash_oracle(num_perm: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+def _minhash_oracle(
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    source: str = "documents WHERE doc_id < 300",
+) -> str:
     """Full MinHash-LSH twin (sha256 hash mode): shingle → per-perm min →
     banded buckets → candidate pairs → exact-Jaccard verify. Every stage
-    mirrors pipeline/dedup.py so even the LSH recall losses agree."""
+    mirrors pipeline/dedup.py so even the LSH recall losses agree.
+    ``source`` is the doc relation (needs doc_id, text)."""
     rpb = num_perm // bands
     sig_exprs = ", ".join(
         f"list_min(list_transform(sh, s -> {_hex60('s', j)})) AS s{j}"
@@ -162,7 +168,7 @@ def _minhash_oracle(num_perm: int = 32, bands: int = 8, threshold: float = 0.5) 
     )
     return (
         f"WITH d AS MATERIALIZED (SELECT doc_id, {_SHINGLES} AS sh "
-        "FROM documents WHERE doc_id < 300), "
+        f"FROM {source}), "
         f"sigs AS MATERIALIZED (SELECT doc_id, {band_exprs} "
         f"FROM (SELECT doc_id, {sig_exprs} FROM d)), "
         f"banded AS MATERIALIZED ({bucket_rows}), "
@@ -980,6 +986,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id").alias("dst"), F.col("val").cast("long").alias("qty")
         )
 
+    def stream_dedup(spark, sf):
+        # one micro-batch of the streaming incremental dedup as a pure
+        # transform (streaming/dedup.py dedup_batch, sha256 hash mode so
+        # the LSH stages are DuckDB-reproducible): intra-batch exact
+        # (min-id survivor) then intra-batch near-dup rejection
+        from pygraphblas_spark.streaming.dedup import dedup_batch
+
+        docs = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 300)
+            .select("doc_id", "text")
+        )
+        accepted, _ = dedup_batch(
+            docs, jaccard_threshold=0.5, hash_mode="sha256"
+        )
+        return accepted.select("doc_id", "norm_sha")
+
     def stride_extract(spark, sf):
         # GxB_STRIDE range extract (reference base.py:216-250): every 3rd
         # row position of the qty matrix, remapped to 0-based positions
@@ -1078,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_row": extract_row,
         "events_window": events_window,
         "user_sessions": user_sessions,
+        "stream_dedup": stream_dedup,
         "stride_extract": stride_extract,
         "mxm_masked_accum": mxm_masked_accum,
         "sssp_weighted": sssp_weighted,
@@ -1263,6 +1287,25 @@ def oracle_sql() -> dict[str, str]:
         "extract_row": (
             f"SELECT dst, CAST(val AS BIGINT) AS qty FROM {_MA} m "
             f"WHERE src = (SELECT MIN(src) FROM {_MA})"
+        ),
+        "stream_dedup": (
+            # rule 1: min-id survivor per norm_sha; rule 3: reject any doc
+            # with a smaller-id verified near-dup among the kept set (the
+            # nested pairs query is the sha256-mode LSH twin over kd)
+            "WITH k AS MATERIALIZED ( "
+            "  SELECT MIN(doc_id) AS doc_id, norm_sha FROM ( "
+            r"    SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_sha "
+            "    FROM documents WHERE doc_id < 300) GROUP BY norm_sha "
+            "), "
+            "kd AS MATERIALIZED ( "
+            "  SELECT d.doc_id, d.text, k.norm_sha FROM documents d "
+            "  JOIN k ON d.doc_id = k.doc_id "
+            "), "
+            "pairs AS MATERIALIZED ( "
+            + _minhash_oracle(num_perm=32, bands=8, threshold=0.5, source="kd")
+            + " ) "
+            "SELECT doc_id, norm_sha FROM kd "
+            "WHERE doc_id NOT IN (SELECT id_b FROM pairs)"
         ),
         "stride_extract": (
             f"SELECT CAST(src / 3 AS BIGINT) AS rpos, dst AS part, "

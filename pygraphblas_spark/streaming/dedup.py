@@ -38,6 +38,7 @@ from pygraphblas_spark.pipeline.dedup import (
     _normalized,
     _word_shingles,
     minhash_band_buckets,
+    minhash_lsh_candidates,
 )
 
 DOC_STREAM_SCHEMA = T.StructType(
@@ -61,6 +62,95 @@ def _table_exists(spark: SparkSession, path: str) -> bool:
     return p.getFileSystem(hconf).exists(p)
 
 
+def dedup_batch(
+    batch: DataFrame,
+    corpus_docs: DataFrame | None = None,
+    corpus_buckets: DataFrame | None = None,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    hash_mode: str = "xxhash",
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch of incremental dedup as a pure DataFrame transform
+    (so the same logic is batch-testable and oracle-checkable).
+
+    Returns (accepted docs (doc_id, norm_sha, text), their LSH bucket
+    rows). Rules, in order:
+
+    1. intra-batch exact: min doc_id survives per norm_sha;
+    2. vs-corpus exact: anti-join on norm_sha;
+    3. intra-batch near-dup: a doc is rejected if ANY smaller-id doc in
+       the batch is a verified near-dup (order-independent — the smaller
+       side is rejected-blind, so chains need no iteration);
+    4. vs-corpus near-dup: band-bucket candidates against the persisted
+       bucket index, verified by exact Jaccard.
+    """
+    staged = batch.select(
+        "doc_id", "text", F.sha2(_normalized(F.col("text")), 256).alias("norm_sha")
+    )
+    keep = staged.groupBy("norm_sha").agg(F.min("doc_id").alias("doc_id"))
+    staged = staged.join(keep, ["norm_sha", "doc_id"], "left_semi")
+
+    if corpus_docs is not None:
+        staged = staged.join(corpus_docs.select("norm_sha"), "norm_sha", "left_anti")
+
+    # intra-batch near-dups: reject the larger id of every verified pair
+    pairs = minhash_lsh_candidates(
+        staged,
+        "doc_id",
+        "text",
+        num_perm,
+        bands,
+        shingle_n,
+        verify_threshold=jaccard_threshold,
+        hash_mode=hash_mode,
+    )
+    staged = staged.join(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+
+    new_buckets = minhash_band_buckets(
+        staged, "doc_id", "text", num_perm, bands, shingle_n, hash_mode
+    )
+
+    if corpus_docs is not None and corpus_buckets is not None:
+        cand = (
+            new_buckets.join(
+                corpus_buckets.select(
+                    "band", "bucket", F.col("doc_id").alias("old_id")
+                ),
+                ["band", "bucket"],
+            )
+            .select("doc_id", "old_id")
+            .distinct()
+        )
+        sh_new = staged.select(
+            "doc_id", _word_shingles(F.col("text"), shingle_n).alias("sh_a")
+        )
+        sh_old = corpus_docs.select(
+            F.col("doc_id").alias("old_id"),
+            _word_shingles(F.col("text"), shingle_n).alias("sh_b"),
+        )
+        rejected = (
+            cand.join(sh_new, "doc_id")
+            .join(sh_old, "old_id")
+            .filter(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+                >= jaccard_threshold
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        staged = staged.join(rejected, "doc_id", "left_anti")
+        new_buckets = new_buckets.join(
+            staged.select("doc_id"), "doc_id", "left_semi"
+        )
+
+    return staged.select("doc_id", "norm_sha", "text"), new_buckets
+
+
 def incremental_dedup_maintenance(
     spark: SparkSession,
     stream_path: str,
@@ -80,64 +170,22 @@ def incremental_dedup_maintenance(
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        staged = batch.select(
-            "doc_id", "text", F.sha2(_normalized(F.col("text")), 256).alias("norm_sha")
-        )
-        # 1. intra-batch exact dedup — deterministic min-id survivor
-        keep = staged.groupBy("norm_sha").agg(F.min("doc_id").alias("doc_id"))
-        staged = staged.join(keep, ["norm_sha", "doc_id"], "left_semi")
-
         have_corpus = _table_exists(sess, docs_path)
-        if have_corpus:
-            corpus = sess.read.parquet(docs_path)
-            # 2. exact dedup vs corpus
-            staged = staged.join(
-                corpus.select("norm_sha"), "norm_sha", "left_anti"
-            )
-
-        new_buckets = minhash_band_buckets(
-            staged, "doc_id", "text", num_perm, bands, shingle_n, hash_mode
+        accepted, new_buckets = dedup_batch(
+            batch,
+            corpus_docs=sess.read.parquet(docs_path) if have_corpus else None,
+            corpus_buckets=(
+                sess.read.parquet(buckets_path) if have_corpus else None
+            ),
+            num_perm=num_perm,
+            bands=bands,
+            shingle_n=shingle_n,
+            jaccard_threshold=jaccard_threshold,
+            hash_mode=hash_mode,
         )
-
-        if have_corpus:
-            # 3. near-dup vs corpus: candidates from the bucket join only
-            old_buckets = sess.read.parquet(buckets_path)
-            cand = (
-                new_buckets.join(
-                    old_buckets.select(
-                        "band", "bucket", F.col("doc_id").alias("old_id")
-                    ),
-                    ["band", "bucket"],
-                )
-                .select("doc_id", "old_id")
-                .distinct()
-            )
-            sh_new = staged.select(
-                "doc_id", _word_shingles(F.col("text"), shingle_n).alias("sh_a")
-            )
-            sh_old = sess.read.parquet(docs_path).select(
-                F.col("doc_id").alias("old_id"),
-                _word_shingles(F.col("text"), shingle_n).alias("sh_b"),
-            )
-            rejected = (
-                cand.join(sh_new, "doc_id")
-                .join(sh_old, "old_id")
-                .filter(
-                    F.size(F.array_intersect("sh_a", "sh_b"))
-                    / F.size(F.array_union("sh_a", "sh_b"))
-                    >= jaccard_threshold
-                )
-                .select("doc_id")
-                .distinct()
-            )
-            staged = staged.join(rejected, "doc_id", "left_anti")
-            new_buckets = new_buckets.join(staged.select("doc_id"), "doc_id", "left_semi")
-
-        # 4. append survivors; buckets first would orphan on failure
-        # between writes, docs first only costs re-checking — docs first.
-        staged.select("doc_id", "norm_sha", "text").write.mode("append").parquet(
-            docs_path
-        )
+        # append survivors; buckets first would orphan on failure between
+        # writes, docs first only costs re-checking — docs first.
+        accepted.write.mode("append").parquet(docs_path)
         new_buckets.write.mode("append").parquet(buckets_path)
 
     q = (

@@ -151,10 +151,12 @@ def test_incremental_dedup_maintenance(spark, tmp_path):
             for r in rows:
                 f.write(json.dumps(r) + "\n")
 
-    # round 1: establish the corpus; 11 is an intra-batch exact dup of 10
+    # round 1: establish the corpus; 11 is an intra-batch exact dup of 10,
+    # 12 an intra-batch NEAR dup of 10 (rule 3: larger id rejected)
     write_batch("b1.json", [
         {"doc_id": 10, "text": base, "ts": "2026-01-01T00:00:00"},
         {"doc_id": 11, "text": base.upper(), "ts": "2026-01-01T00:00:01"},
+        {"doc_id": 12, "text": base.replace("dog", "cat", 1), "ts": "2026-01-01T00:00:02"},
     ])
     incremental_dedup_maintenance(spark, str(stream_dir), corpus, ckpt)
     docs = spark.read.parquet(f"{corpus}/docs")
