@@ -998,9 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter(F.col("doc_id") < 300)
             .select("doc_id", "text")
         )
-        accepted, _ = dedup_batch(
-            docs, jaccard_threshold=0.5, hash_mode="sha256"
-        )
+        accepted = dedup_batch(docs, jaccard_threshold=0.5, hash_mode="sha256")
         return accepted.select("doc_id", "norm_sha")
 
     def stride_extract(spark, sf):

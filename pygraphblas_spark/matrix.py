@@ -1033,12 +1033,27 @@ class Matrix:
         accum=None,
         desc: Descriptor = NULL,
     ) -> "Matrix":
-        """Masked/ranged scalar assign (reference matrix.py:3106):
-        the target region (mask keys, or the row/col rectangle) gets
-        ``value``; everything else unchanged."""
+        """Masked/ranged scalar assign (reference matrix.py:3106): the
+        cells of the (rows × cols) region the mask admits get ``value``
+        (accum-merged when an accumulator is active); everything else
+        passes through, unless REPLACE clears the out-of-mask cells.
+
+        Fast path: an un-complemented mask with a full-range region needs
+        no materialized rectangle — the target is the mask's own support.
+        A complemented mask (or an explicit region + mask) enumerates the
+        region lazily; like the reference's GrB_assign over GrB_ALL, the
+        region's size is what you pay, so complement-assigns over
+        astronomically-dimensioned matrices should bound the region."""
+        from pygraphblas_spark.algebra import current_accum
+
+        desc = resolve(desc)
+        if accum is None:
+            accum = current_accum.get()
         spark = self.df.sparkSession
         typ_col = F.lit(value).cast(gbtypes.spark_type(self.typ))
-        if mask is not None:
+
+        full_region = rows is None and cols is None
+        if mask is not None and not desc.mask_complement and full_region:
             target = core._truthy_mask(mask.df, desc.mask_structural).select(
                 "src", "dst", typ_col.alias(VAL)
             )
@@ -1055,21 +1070,34 @@ class Matrix:
                 )
                 .select("src", "dst", typ_col.alias(VAL))
             )
-        merged = core.finalize(
-            self.df,
-            target,
-            EDGE_SCHEMA_KEYS,
-            None,
-            _coerce_binop(accum) if accum else None,
-            desc,
-        )
-        if accum is None:
-            # plain assign: new value wins over old in the target region,
-            # old survives elsewhere — upsert.
+            if mask is not None:
+                target = core.apply_mask(
+                    target,
+                    mask.df,
+                    EDGE_SCHEMA_KEYS,
+                    desc.mask_complement,
+                    desc.mask_structural,
+                )
+        if accum is not None:
+            # accum merge on target collisions; lone old cells pass through
+            merged = core.ewise_add(
+                self.df, target, EDGE_SCHEMA_KEYS, _coerce_binop(accum)
+            )
+        else:
+            # plain assign: new value wins in the target, old elsewhere
             old_rest = self.df.join(
                 target.select("src", "dst"), on=EDGE_SCHEMA_KEYS, how="left_anti"
             )
             merged = target.unionByName(old_rest)
+        if desc.replace and mask is not None:
+            # REPLACE: cells the mask does not admit are cleared
+            merged = core.apply_mask(
+                merged,
+                mask.df,
+                EDGE_SCHEMA_KEYS,
+                desc.mask_complement,
+                desc.mask_structural,
+            )
         return Matrix(merged, self.nrows, self.ncols, self.typ)
 
     def assign_matrix(
@@ -1606,18 +1634,6 @@ class Matrix:
         return semiring("LOR_LAND" if t == "BOOL" else "PLUS_TIMES")
 
 
-def _slice_bounds(sel, dim: int) -> tuple[int, int]:
-    """GraphBLAS slices are INCLUSIVE of the stop index (reference
-    _build_range base.py:216-250)."""
-    if sel is None:
-        return 0, dim - 1
-    if isinstance(sel, int):
-        return sel, sel
-    if isinstance(sel, slice):
-        return sel.start or 0, (dim - 1 if sel.stop is None else sel.stop)
-    raise TypeError(f"bad range {sel!r}")
-
-
 def _slice_parts(sel, dim: int) -> tuple[int, int, int, int]:
     """(start, stop, step, count) with GraphBLAS-inclusive stop; negative
     step = GxB_BACKWARDS (reference _build_range base.py:216-250: GxB_RANGE
@@ -1645,10 +1661,12 @@ def _stride_filter_pos(colname: str, start: int, stop: int, step: int):
     stride start, start+step, ... — pure column expressions so the scan
     predicate stays pushdown-able."""
     c = F.col(colname)
+    # `div` = exact integral division (float `/` loses precision above
+    # 2^53 and indices run to GxB_INDEX_MAX = 2^60)
     if step > 0:
         keep = c.between(start, stop) & (((c - start) % step) == 0)
-        pos = (c - start) / step
+        pos = F.expr(f"({colname} - {start}) div {step}")
     else:
         keep = c.between(stop, start) & (((start - c) % (-step)) == 0)
-        pos = (start - c) / (-step)
+        pos = F.expr(f"({start} - {colname}) div {-step}")
     return keep, pos.cast("long")

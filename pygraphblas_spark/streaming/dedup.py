@@ -71,12 +71,13 @@ def dedup_batch(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     hash_mode: str = "xxhash",
-) -> tuple[DataFrame, DataFrame]:
+) -> DataFrame:
     """One micro-batch of incremental dedup as a pure DataFrame transform
     (so the same logic is batch-testable and oracle-checkable).
 
-    Returns (accepted docs (doc_id, norm_sha, text), their LSH bucket
-    rows). Rules, in order:
+    Returns the accepted docs (doc_id, norm_sha, text); callers derive
+    their LSH index rows with ``minhash_band_buckets(accepted)``.
+    Rules, in order:
 
     1. intra-batch exact: min doc_id survives per norm_sha;
     2. vs-corpus exact: anti-join on norm_sha;
@@ -110,11 +111,10 @@ def dedup_batch(
         pairs.select(F.col("id_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
     )
 
-    new_buckets = minhash_band_buckets(
-        staged, "doc_id", "text", num_perm, bands, shingle_n, hash_mode
-    )
-
     if corpus_docs is not None and corpus_buckets is not None:
+        new_buckets = minhash_band_buckets(
+            staged, "doc_id", "text", num_perm, bands, shingle_n, hash_mode
+        )
         cand = (
             new_buckets.join(
                 corpus_buckets.select(
@@ -144,11 +144,8 @@ def dedup_batch(
             .distinct()
         )
         staged = staged.join(rejected, "doc_id", "left_anti")
-        new_buckets = new_buckets.join(
-            staged.select("doc_id"), "doc_id", "left_semi"
-        )
 
-    return staged.select("doc_id", "norm_sha", "text"), new_buckets
+    return staged.select("doc_id", "norm_sha", "text")
 
 
 def incremental_dedup_maintenance(
@@ -170,23 +167,37 @@ def incremental_dedup_maintenance(
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        have_corpus = _table_exists(sess, docs_path)
-        accepted, new_buckets = dedup_batch(
+        # existence checked per path: a crash between the two appends must
+        # not leave a state where one read throws on every retry
+        have_docs = _table_exists(sess, docs_path)
+        have_buckets = _table_exists(sess, buckets_path)
+        accepted = dedup_batch(
             batch,
-            corpus_docs=sess.read.parquet(docs_path) if have_corpus else None,
+            corpus_docs=sess.read.parquet(docs_path) if have_docs else None,
             corpus_buckets=(
-                sess.read.parquet(buckets_path) if have_corpus else None
+                sess.read.parquet(buckets_path)
+                if have_docs and have_buckets
+                else None
             ),
             num_perm=num_perm,
             bands=bands,
             shingle_n=shingle_n,
             jaccard_threshold=jaccard_threshold,
             hash_mode=hash_mode,
-        )
-        # append survivors; buckets first would orphan on failure between
-        # writes, docs first only costs re-checking — docs first.
-        accepted.write.mode("append").parquet(docs_path)
-        new_buckets.write.mode("append").parquet(buckets_path)
+        ).persist()  # one computation of the whole dedup lineage per batch
+        try:
+            buckets = minhash_band_buckets(
+                accepted, "doc_id", "text", num_perm, bands, shingle_n, hash_mode
+            )
+            # buckets FIRST: an orphaned bucket row (crash before the docs
+            # append) is harmless — rule 4 drops candidates whose old_id is
+            # missing from docs/. Docs-first would permanently lose the LSH
+            # index rows for those docs on retry (rule 2 rejects the re-read
+            # batch, so their buckets would never be written).
+            buckets.write.mode("append").parquet(buckets_path)
+            accepted.write.mode("append").parquet(docs_path)
+        finally:
+            accepted.unpersist()
 
     q = (
         documents.writeStream.foreachBatch(upsert)

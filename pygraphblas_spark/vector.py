@@ -478,30 +478,43 @@ class Vector:
         accum=None,
         desc: Descriptor = NULL,
     ) -> "Vector":
-        """v[:] = x — PageRank's teleport reset (reference vector.py:1494)."""
+        """v[:] = x — PageRank's teleport reset (reference vector.py:1494).
+        Same write-rule handling as Matrix.assign_scalar: complemented /
+        ranged masks enumerate the selection lazily, REPLACE clears
+        out-of-mask cells, a scoped ``with Accum(...)`` is honored."""
+        from pygraphblas_spark.algebra import current_accum
+        from pygraphblas_spark.matrix import _slice_parts
+
+        desc = resolve(desc)
+        if accum is None:
+            accum = current_accum.get()
         spark = self.df.sparkSession
         typ_col = F.lit(value).cast(gbtypes.spark_type(self.typ))
-        if mask is not None:
+        if mask is not None and not desc.mask_complement and sel is None:
             target = core._truthy_mask(mask.df, desc.mask_structural).select(
                 "id", typ_col.alias(VAL)
             )
         else:
-            if sel is None:
-                start, stop = 0, self.size - 1
-            elif isinstance(sel, slice):
-                start, stop = sel.start or 0, (
-                    self.size - 1 if sel.stop is None else sel.stop
-                )
-            else:
-                start, stop = int(sel), int(sel)
-            target = spark.range(start, stop + 1).select(
-                F.col("id"), typ_col.alias(VAL)
+            start, stop, step, _ = _slice_parts(
+                sel if not isinstance(sel, int) else slice(sel, sel), self.size
             )
+            target = spark.range(
+                start, stop + (1 if step > 0 else -1), step
+            ).select(F.col("id"), typ_col.alias(VAL))
+            if mask is not None:
+                target = core.apply_mask(
+                    target, mask.df, KEYS, desc.mask_complement,
+                    desc.mask_structural,
+                )
         if accum is not None:
             merged = core.ewise_add(self.df, target, KEYS, _coerce_binop(accum))
         else:
             old_rest = self.df.join(target.select("id"), on="id", how="left_anti")
             merged = target.unionByName(old_rest)
+        if desc.replace and mask is not None:
+            merged = core.apply_mask(
+                merged, mask.df, KEYS, desc.mask_complement, desc.mask_structural
+            )
         return Vector(merged, self.size, self.typ)
 
     def assign(

@@ -601,3 +601,57 @@ def test_stepped_assign(spark):
     # stepped scalar assign rectangle
     sc = m.assign_scalar(7, rows=slice(0, 4, 2), cols=slice(1, 1))
     assert sc.to_dict() == {(0, 1): 7, (2, 1): 7, (4, 1): 7}
+
+
+def test_assign_scalar_write_rule(spark):
+    # complement mask / replace / scoped accum through assign_scalar —
+    # reference GrB_Matrix_assign semantics (matrix.py:3106)
+    from pygraphblas_spark import Accum, descriptor
+    from pygraphblas_spark.matrix import Matrix
+
+    m = Matrix.from_lists(spark, [0, 1], [0, 1], [1, 2], 2, 2)
+    mask = Matrix.from_lists(spark, [0], [0], [True], 2, 2, typ="BOOL")
+
+    # complemented mask over an explicit region: writes everywhere the
+    # mask does NOT admit
+    out = m.assign_scalar(
+        9, rows=slice(0, 1), cols=slice(0, 1), mask=mask, desc=descriptor.C
+    )
+    assert out.to_dict() == {(0, 0): 1, (0, 1): 9, (1, 0): 9, (1, 1): 9}
+
+    # replace: out-of-mask cells are cleared
+    rep = m.assign_scalar(9, mask=mask, desc=descriptor.R)
+    assert rep.to_dict() == {(0, 0): 9}
+
+    # scoped accumulator is honored (was silently ignored pre-fix)
+    with Accum("PLUS"):
+        acc = m.assign_scalar(10, mask=mask)
+    assert acc.to_dict() == {(0, 0): 11, (1, 1): 2}
+
+
+def test_vector_assign_scalar_write_rule(spark):
+    from pygraphblas_spark import Accum, descriptor
+    from pygraphblas_spark.vector import Vector
+
+    v = Vector.from_lists(spark, [0, 1], [1.0, 2.0], 3)
+    mask = Vector.from_lists(spark, [0], [True], 3, typ="BOOL")
+
+    out = v.assign_scalar(9.0, sel=slice(0, 2), mask=mask, desc=descriptor.C)
+    assert out.to_dict() == {0: 1.0, 1: 9.0, 2: 9.0}
+
+    rep = v.assign_scalar(9.0, mask=mask, desc=descriptor.R)
+    assert rep.to_dict() == {0: 9.0}
+
+    with Accum("PLUS"):
+        acc = v.assign_scalar(10.0, mask=mask)
+    assert acc.to_dict() == {0: 11.0, 1: 2.0}
+
+
+def test_stride_positions_are_exact_above_2_53(spark):
+    # float division would corrupt positions above 2^53; div is exact
+    from pygraphblas_spark.matrix import Matrix
+
+    big = (1 << 53) + 1
+    m = Matrix.from_lists(spark, [big], [0], [7], big + 1, 1)
+    s = m[0 : big : 1, :]
+    assert s.to_dict() == {(big, 0): 7}
