@@ -266,7 +266,22 @@ binary_op("SECOND", lambda a, b: b)
 binary_op("PAIR", lambda a, b: F.lit(1))
 binary_op("ANY", lambda a, b: a)  # ANY may return either; we pin FIRST for determinism
 binary_op("MIN", F.least)
-binary_op("MAX", F.greatest)
+
+
+def _fmax(a: Column, b: Column) -> Column:
+    # C fmax semantics (SuiteSparse GrB_MAX_FP*): a NaN operand is ignored,
+    # fmax(NaN, NaN) = NaN. Spark's greatest() sorts NaN above everything,
+    # so it would propagate NaN instead. least() already matches fmin.
+    # The double cast keeps isnan() legal on BOOL/integral columns (always
+    # false there — the extra branch folds away for non-float types).
+    return (
+        F.when(F.isnan(a.cast("double")), b)
+        .when(F.isnan(b.cast("double")), a)
+        .otherwise(F.greatest(a, b))
+    )
+
+
+binary_op("MAX", _fmax)
 binary_op("PLUS", lambda a, b: a + b)
 binary_op("MINUS", lambda a, b: a - b)
 binary_op("RMINUS", lambda a, b: b - a)
@@ -384,7 +399,13 @@ def monoid(
 monoid("PLUS", F.sum, 0, "PLUS")
 monoid("TIMES", F.product, 1, "TIMES")
 monoid("MIN", F.min, float("inf"), "MIN")
-monoid("MAX", F.max, float("-inf"), "MAX")
+def _fmax_agg(c: Column) -> Column:
+    # fmax semantics for the reduction: NaN ignored unless every element
+    # is NaN (F.min is already fmin — Spark sorts NaN last). See _fmax.
+    return F.coalesce(F.max(F.when(~F.isnan(c.cast("double")), c)), F.max(c))
+
+
+monoid("MAX", _fmax_agg, float("-inf"), "MAX")
 monoid("ANY", F.first, None, "ANY")  # deterministic-enough: first within group
 monoid("LOR", lambda c: F.max(c.cast("boolean").cast("int")).cast("boolean"), False, "LOR")
 monoid("LAND", lambda c: F.min(c.cast("boolean").cast("int")).cast("boolean"), True, "LAND")

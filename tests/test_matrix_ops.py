@@ -655,3 +655,30 @@ def test_stride_positions_are_exact_above_2_53(spark):
     m = Matrix.from_lists(spark, [big], [0], [7], big + 1, 1)
     s = m[0 : big : 1, :]
     assert s.to_dict() == {(big, 0): 7}
+
+
+def test_float_nan_inf_c_semantics(spark):
+    # SuiteSparse float ops are C semantics: MINV(0)=inf, DIV by 0=inf,
+    # MIN/MAX are fmin/fmax (NaN ignored unless all operands are NaN)
+    import math
+
+    from pygraphblas_spark.matrix import Matrix
+
+    nan = float("nan")
+    m = Matrix.from_lists(spark, [0, 0, 1], [0, 1, 0], [nan, 1.0, 2.0], 2, 2)
+    assert m.reduce("MIN") == 1.0
+    assert m.reduce("MAX") == 2.0  # fmax ignores the NaN
+    assert math.isnan(m.reduce("PLUS"))  # + propagates, as in C
+
+    allnan = Matrix.from_lists(spark, [0], [0], [nan], 1, 1)
+    assert math.isnan(allnan.reduce("MAX"))
+
+    a = Matrix.from_lists(spark, [0, 1], [0, 0], [nan, nan], 2, 1)
+    b = Matrix.from_lists(spark, [0, 1], [0, 0], [3.0, nan], 2, 1)
+    got = a.eadd(b, "MAX").to_dict()
+    assert got[(0, 0)] == 3.0 and math.isnan(got[(1, 0)])
+
+    z = Matrix.from_lists(spark, [0], [0], [0.0], 1, 1)
+    assert (~z).to_dict() == {(0, 0): float("inf")}
+    d = Matrix.from_lists(spark, [0], [0], [1.0], 1, 1)
+    assert d.apply_second("DIV", 0.0).to_dict() == {(0, 0): float("inf")}
