@@ -723,25 +723,43 @@ class Matrix:
         return self.mxm(other)
 
     def kronecker(
-        self, other: "Matrix", op: Union[BinaryOp, str] = "TIMES"
+        self,
+        other: "Matrix",
+        op: Union[BinaryOp, str] = "TIMES",
+        out: Optional["Matrix"] = None,
+        mask: Optional["Matrix"] = None,
+        accum=None,
+        desc: Descriptor = NULL,
     ) -> "Matrix":
-        """Kronecker product (reference matrix.py:2739)."""
+        """Kronecker product with the standard modifiers
+        (reference matrix.py:2739 ``kronecker(op, mask, accum, desc)``)."""
+        desc = resolve(desc)
+        left = self.transpose() if desc.transpose0 else self
+        right = other.transpose() if desc.transpose1 else other
         op = _coerce_binop(op)
-        a = self.df.select(
+        a = left.df.select(
             F.col("src").alias("__ai"), F.col("dst").alias("__aj"), F.col(VAL).alias("__a")
         )
-        b = other.df.select(
+        b = right.df.select(
             F.col("src").alias("__bi"), F.col("dst").alias("__bj"), F.col(VAL).alias("__b")
         )
         df = a.crossJoin(b).select(
-            (F.col("__ai") * other.nrows + F.col("__bi")).alias("src"),
-            (F.col("__aj") * other.ncols + F.col("__bj")).alias("dst"),
+            (F.col("__ai") * right.nrows + F.col("__bi")).alias("src"),
+            (F.col("__aj") * right.ncols + F.col("__bj")).alias("dst"),
             op(F.col("__a"), F.col("__b")).alias(VAL),
         )
-        return Matrix(
+        new = core.finalize(
+            out.df if out is not None else None,
             df,
-            self.nrows * other.nrows,
-            self.ncols * other.ncols,
+            EDGE_SCHEMA_KEYS,
+            mask.df if mask is not None else None,
+            _coerce_binop(accum) if accum else None,
+            desc,
+        )
+        return Matrix(
+            new,
+            left.nrows * right.nrows,
+            left.ncols * right.ncols,
             gbtypes.promote(self.typ, other.typ),
         )
 

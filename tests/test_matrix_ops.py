@@ -682,3 +682,22 @@ def test_float_nan_inf_c_semantics(spark):
     assert (~z).to_dict() == {(0, 0): float("inf")}
     d = Matrix.from_lists(spark, [0], [0], [1.0], 1, 1)
     assert d.apply_second("DIV", 0.0).to_dict() == {(0, 0): float("inf")}
+
+
+def test_kronecker_modifiers(spark):
+    # reference matrix.py:2739: kron takes (op, mask, accum, desc)
+    from pygraphblas_spark import descriptor
+    from pygraphblas_spark.matrix import Matrix
+
+    a = Matrix.from_lists(spark, [0, 1], [1, 0], [2, 3], 2, 2)
+    b = Matrix.from_lists(spark, [0], [0], [10], 1, 1)
+    k = a.kronecker(b)
+    assert k.to_dict() == {(0, 1): 20, (1, 0): 30}
+    # T0: kron(Aᵀ, B)
+    kt = a.kronecker(b, desc=descriptor.T0)
+    assert kt.to_dict() == {(1, 0): 20, (0, 1): 30}
+    # mask + accum into out
+    mask = Matrix.from_lists(spark, [0], [1], [True], 2, 2, typ="BOOL")
+    out = Matrix.from_lists(spark, [0, 1], [1, 0], [100, 100], 2, 2)
+    km = a.kronecker(b, mask=mask, accum="PLUS", out=out)
+    assert km.to_dict() == {(0, 1): 120, (1, 0): 100}
