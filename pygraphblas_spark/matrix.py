@@ -802,6 +802,10 @@ class Matrix:
             return Matrix(df, self.nrows, self.ncols, self.typ)
         if key is None:
             raise KeyError(f"unknown select op {op!r}")
+        from pygraphblas_spark.scalar import Scalar
+
+        if isinstance(thunk, Scalar):  # reference passes Scalar thunks
+            thunk = thunk[0]
         pred = SELECT_OPS[key](
             F.col("src"), F.col("dst"), F.col(VAL), F.lit(thunk if thunk is not None else 0)
         )

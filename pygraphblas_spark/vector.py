@@ -409,6 +409,10 @@ class Vector:
             return Vector(df, self.size, self.typ)
         if key is None:
             raise KeyError(f"unknown select op {op!r}")
+        from pygraphblas_spark.scalar import Scalar
+
+        if isinstance(thunk, Scalar):  # reference passes Scalar thunks
+            thunk = thunk[0]
         pred = SELECT_OPS[key](
             F.col("id"), F.col("id"), F.col(VAL), F.lit(thunk if thunk is not None else 0)
         )

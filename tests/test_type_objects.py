@@ -243,3 +243,12 @@ def test_cy_matrix_json(spark):
     assert d["directed"] is True
     assert [n["data"]["id"] for n in d["elements"]["nodes"]] == ["0", "1", "2"]
     assert d["elements"]["edges"][0]["data"]["source"] == "0"
+
+
+def test_select_scalar_thunk(spark):
+    from pygraphblas_spark import Scalar
+
+    m = Matrix.from_lists(spark, [0, 1], [0, 1], [1, 5], 2, 2)
+    assert m.select(">", Scalar.from_value(2)).to_dict() == {(1, 1): 5}
+    v = Vector.from_lists(spark, [0, 1], [1.0, 5.0], 2)
+    assert v.select(">", Scalar.from_value(2.0)).to_dict() == {1: 5.0}
