@@ -57,6 +57,7 @@ from pygraphblas_spark.gbtypes import (
     GBType,
 )
 from pygraphblas_spark import gbtypes as types  # reference `pygraphblas.types`
+from pygraphblas_spark.exceptions import GraphBLASException, NoValue
 
 # Engine identification, mirroring the reference's GxB version tuples
 # (reference __init__.py GxB_IMPLEMENTATION / GxB_SPEC): ours identifies
@@ -107,6 +108,8 @@ __all__ = [
     "FP64",
     "FC32",
     "FC64",
+    "GraphBLASException",
+    "NoValue",
     "GxB_INDEX_MAX",
     "GxB_IMPLEMENTATION",
     "GxB_SPEC",

@@ -1038,7 +1038,14 @@ class Matrix:
         if isinstance(index, tuple) and len(index) == 2:
             i, j = index
             if isinstance(i, int) and isinstance(j, int):
-                return self.extract_element(i, j)
+                v = self.extract_element(i, j)
+                if v is None:
+                    # reference A[i, j] raises on absence (base.py NoValue);
+                    # extract_element keeps the None-returning contract
+                    from pygraphblas_spark.exceptions import NoValue
+
+                    raise NoValue(f"no element at ({i}, {j})")
+                return v
             if isinstance(i, int):
                 return self.extract_row(i) if j == slice(None) else self.extract_matrix([i], j)
             if isinstance(j, int):

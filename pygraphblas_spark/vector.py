@@ -562,7 +562,13 @@ class Vector:
 
     def __getitem__(self, index):
         if isinstance(index, int):
-            return self.extract_element(index)
+            v = self.extract_element(index)
+            if v is None:
+                # reference v[i] raises on absence (base.py NoValue)
+                from pygraphblas_spark.exceptions import NoValue
+
+                raise NoValue(f"no element at {index}")
+            return v
         return self.extract(index)
 
     def __setitem__(self, index, value) -> None:

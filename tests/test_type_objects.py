@@ -252,3 +252,17 @@ def test_select_scalar_thunk(spark):
     assert m.select(">", Scalar.from_value(2)).to_dict() == {(1, 1): 5}
     v = Vector.from_lists(spark, [0, 1], [1.0, 5.0], 2)
     assert v.select(">", Scalar.from_value(2.0)).to_dict() == {1: 5.0}
+
+
+def test_novalue_exception(spark):
+    from pygraphblas_spark import NoValue
+
+    m = Matrix.from_lists(spark, [0], [0], [1], 2, 2)
+    assert m[0, 0] == 1
+    with pytest.raises(NoValue):
+        m[1, 1]  # noqa: B018
+    assert m.get(1, 1, 42) == 42  # get still defaults
+
+    v = Vector.from_lists(spark, [0], [1.0], 2)
+    with pytest.raises(NoValue):
+        v[1]  # noqa: B018
