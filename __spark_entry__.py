@@ -986,6 +986,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id").alias("dst"), F.col("val").cast("long").alias("qty")
         )
 
+    def bfs_parents(spark, sf):
+        # BFS tree (levels + deterministic MIN-parent — the reference's
+        # SECONDI positional-semiring parent-BFS demo, pinned to MIN for
+        # oracle-checkability) over the symmetrized graph
+        from pygraphblas_spark.algorithms import bfs_tree
+
+        e = _edges(spark, sf).select("src", "dst")
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        src0 = int(sym.agg(F.min("src")).first()[0])
+        return bfs_tree(sym, src0, max_levels=30).select(
+            "id", F.col("level").cast("int").alias("level"), "parent"
+        )
+
     def stream_dedup(spark, sf):
         # one micro-batch of the streaming incremental dedup as a pure
         # transform (streaming/dedup.py dedup_batch, sha256 hash mode so
@@ -1099,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_row": extract_row,
         "events_window": events_window,
         "user_sessions": user_sessions,
+        "bfs_parents": bfs_parents,
         "stream_dedup": stream_dedup,
         "stride_extract": stride_extract,
         "mxm_masked_accum": mxm_masked_accum,
@@ -1194,6 +1210,25 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE r.level < 30 "
             ") "
             "SELECT id, CAST(MIN(level) AS INT) AS level FROM r GROUP BY id"
+        ),
+        "bfs_parents": (
+            # levels via the BFS CTE; parent = MIN in-neighbor one level up
+            "WITH RECURSIVE "
+            f"sym AS (SELECT src, dst FROM {_E} UNION SELECT dst AS src, src AS dst FROM {_E}), "
+            "r(id, level) AS ( "
+            "  SELECT MIN(src), 0 FROM sym "
+            "  UNION "
+            "  SELECT e.dst, r.level + 1 FROM sym e JOIN r ON e.src = r.id "
+            "  WHERE r.level < 30 "
+            "), "
+            "lv AS (SELECT id, MIN(level) AS level FROM r GROUP BY id) "
+            "SELECT c.id, CAST(c.level AS INT) AS level, "
+            "CASE WHEN c.level = 0 THEN c.id "
+            "     ELSE MIN(p.id) END AS parent "
+            "FROM lv c "
+            "LEFT JOIN sym e ON e.dst = c.id "
+            "LEFT JOIN lv p ON p.id = e.src AND p.level = c.level - 1 "
+            "GROUP BY c.id, c.level"
         ),
         "sssp_unit": (
             "WITH RECURSIVE "

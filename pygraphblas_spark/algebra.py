@@ -265,6 +265,19 @@ binary_op("FIRST", lambda a, b: a)
 binary_op("SECOND", lambda a, b: b)
 binary_op("PAIR", lambda a, b: F.lit(1))
 binary_op("ANY", lambda a, b: a)  # ANY may return either; we pin FIRST for determinism
+
+# Positional binops (reference binaryop.py:106 GxB_FIRSTI/SECONDJ/...):
+# index-valued multiply ops — fn(a, b, a_src, a_dst, b_src, b_dst). In
+# C[i,j] = ⊕_k A[i,k] ⊗ B[k,j] the positions are (i, k, k, j); semirings
+# like MIN_SECONDI (argmin row) and ANY_SECONDI (BFS parent) auto-derive.
+binary_op("FIRSTI", lambda a, b, ai, aj, bi, bj: ai, positional=True)
+binary_op("FIRSTI1", lambda a, b, ai, aj, bi, bj: ai + 1, positional=True)
+binary_op("FIRSTJ", lambda a, b, ai, aj, bi, bj: aj, positional=True)
+binary_op("FIRSTJ1", lambda a, b, ai, aj, bi, bj: aj + 1, positional=True)
+binary_op("SECONDI", lambda a, b, ai, aj, bi, bj: bi, positional=True)
+binary_op("SECONDI1", lambda a, b, ai, aj, bi, bj: bi + 1, positional=True)
+binary_op("SECONDJ", lambda a, b, ai, aj, bi, bj: bj, positional=True)
+binary_op("SECONDJ1", lambda a, b, ai, aj, bi, bj: bj + 1, positional=True)
 binary_op("MIN", F.least)
 
 
@@ -443,7 +456,12 @@ class Semiring:
     mul: BinaryOp
     agg_direct: Optional[Callable[[Column, Column], Column]] = None
 
-    def agg_expr(self, a: Column, b: Column) -> Column:
+    def agg_expr(self, a: Column, b: Column, pos: tuple = ()) -> Column:
+        if self.mul.positional:
+            # index-valued multiply (FIRSTI/SECONDJ/... — pos supplies
+            # (a_src, a_dst, b_src, b_dst)); no agg_direct shortcut exists
+            # for positional ops
+            return self.add(self.mul(a, b, *pos))
         if self.agg_direct is not None:
             return self.agg_direct(a, b)
         return self.add(self.mul(a, b))

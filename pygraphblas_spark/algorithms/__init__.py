@@ -9,7 +9,7 @@ from pygraphblas_spark.algorithms.pagerank import pagerank
 from pygraphblas_spark.algorithms.components import connected_components
 from pygraphblas_spark.algorithms.labelprop import label_propagation
 from pygraphblas_spark.algorithms.triangles import triangle_count, triangle_count_sandia
-from pygraphblas_spark.algorithms.bfs import bfs_levels
+from pygraphblas_spark.algorithms.bfs import bfs_levels, bfs_tree
 from pygraphblas_spark.algorithms.sssp import sssp
 from pygraphblas_spark.algorithms.ktruss import k_truss
 from pygraphblas_spark.algorithms.betweenness import betweenness_centrality
@@ -21,6 +21,7 @@ __all__ = [
     "triangle_count",
     "triangle_count_sandia",
     "bfs_levels",
+    "bfs_tree",
     "sssp",
     "k_truss",
     "betweenness_centrality",

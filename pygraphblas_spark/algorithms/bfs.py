@@ -70,3 +70,51 @@ def _bfs_loop(spark, edges, source, max_levels, ckpt):
 
     e.unpersist()
     return visited
+
+
+def bfs_tree(
+    edges: DataFrame,
+    source: int,
+    max_levels: int = 10_000,
+    checkpoint: Optional[CheckpointManager] = None,
+) -> DataFrame:
+    """BFS levels AND parents (the reference's parent-BFS demo, which
+    uses the SECONDI positional semiring: pi = q.vxm(A, ANY_SECONDI)).
+    The parent of each newly-reached vertex is the MINIMUM frontier
+    in-neighbor — deterministic where the reference's ANY is not, so the
+    result is oracle-checkable. source's parent is itself.
+
+    Returns (id: long, level: int, parent: long).
+    """
+    spark = edges.sparkSession
+    ckpt = checkpoint or CheckpointManager(algorithm="bfs_tree")
+    with iteration_conf(spark):
+        e = edges.select("src", "dst").persist()
+        e.count()
+
+        visited = spark.createDataFrame(
+            [(int(source), 0, int(source))], "id long, level int, parent long"
+        )
+        visited = ckpt.cut(visited)
+        frontier = visited.select("id")
+
+        level = 0
+        while True:
+            level += 1
+            nxt = (
+                e.join(frontier, e["src"] == frontier["id"], "left_semi")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("src").alias("parent"))  # MIN_SECONDI rule
+                .join(visited.select("id"), "id", "left_anti")
+                .select("id", F.lit(level).cast("int").alias("level"), "parent")
+            )
+            nxt = ckpt.cut(nxt)
+            cnt = nxt.count()
+            if cnt == 0 or level > max_levels:
+                break
+            visited = ckpt.cut(visited.unionByName(nxt))
+            frontier = nxt.select("id")
+            ckpt.save(level, {"visited": visited}, {"frontier": cnt})
+
+        e.unpersist()
+        return visited

@@ -84,7 +84,9 @@ def mxm(
         # the aggregation.
         joined = joined.join(mkeys, on=["__i", "__j"], how="left_semi")
 
-    agg = semiring.agg_expr(F.col("__a"), F.col("__b")).alias(VAL)
+    # positional-op coordinates: A entry is (i, k), B entry is (k, j)
+    pos = (F.col("__i"), F.col("__k"), F.col("__k"), F.col("__j"))
+    agg = semiring.agg_expr(F.col("__a"), F.col("__b"), pos).alias(VAL)
     result = joined.groupBy("__i", "__j").agg(agg).select(
         F.col("__i").alias("src"), F.col("__j").alias("dst"), F.col(VAL)
     )
@@ -128,7 +130,9 @@ def mxv(
         an = an.join(mkeys, on="__i", how="left_semi")
 
     joined = an.join(vn, on="__k")
-    agg = semiring.agg_expr(F.col("__a"), F.col("__b")).alias(VAL)
+    # positional-op coordinates: A entry (i, k), vector entry (k, k)
+    pos = (F.col("__i"), F.col("__k"), F.col("__k"), F.col("__k"))
+    agg = semiring.agg_expr(F.col("__a"), F.col("__b"), pos).alias(VAL)
     result = joined.groupBy("__i").agg(agg).select(F.col("__i").alias("id"), F.col(VAL))
     return finalize(out, result, ["id"], mask, accum, desc)
 
@@ -150,10 +154,23 @@ def vxm(
     transposes A (A is input 1 of vxm)."""
     # v ⊗ A == (Aᵀ ⊗-swapped v); reuse mxv with operand-swapped semiring.
     desc = resolve(desc)
+    mul = semiring.mul
+    if mul.positional:
+        # The flipped mxv joins Aᵀ (entry presented as (j, k)) with v (k).
+        # Reconstruct the vxm-presented coordinates: FIRST = v at (k, k)
+        # = (pos[2], pos[3]); SECOND = A at (k, j) = (pos[1], pos[0]) —
+        # so ANY_SECONDI (BFS parent, reference demo) yields k.
+        swapped_mul = BinaryOp(
+            mul.name + "_SWAP",
+            lambda x, y, ai, aj, bi, bj: mul(y, x, bi, bj, aj, ai),
+            positional=True,
+        )
+    else:
+        swapped_mul = BinaryOp(mul.name + "_SWAP", lambda x, y: mul(y, x))
     swapped = Semiring(
         semiring.name + "_SWAP",
         semiring.add,
-        BinaryOp(semiring.mul.name + "_SWAP", lambda x, y: semiring.mul(y, x)),
+        swapped_mul,
         agg_direct=(
             (lambda x, y: semiring.agg_direct(y, x)) if semiring.agg_direct else None
         ),

@@ -54,6 +54,15 @@ def apply_mask(
     return df.join(m, on=list(keys), how=how)
 
 
+def _ewise_pos(keys: Sequence[str]) -> tuple:
+    """(a_src, a_dst, b_src, b_dst) coordinates for positional binops in
+    element-wise joins — both operands share the join keys; a vector's
+    single key doubles as its row and column index."""
+    c0 = F.col(keys[0])
+    c1 = F.col(keys[1]) if len(keys) > 1 else c0
+    return (c0, c1, c0, c1)
+
+
 def ewise_add(
     a: DataFrame,
     b: DataFrame,
@@ -69,7 +78,7 @@ def ewise_add(
     j = an.join(bn, on=keys, how="full_outer")
     both = F.col("__a").isNotNull() & F.col("__b").isNotNull()
     val = (
-        F.when(both, op(F.col("__a"), F.col("__b")))
+        F.when(both, op(F.col("__a"), F.col("__b"), *_ewise_pos(keys)))
         .when(F.col("__a").isNotNull(), F.col("__a"))
         .otherwise(F.col("__b"))
     )
@@ -88,7 +97,7 @@ def ewise_mult(
     an = a.select(*keys, F.col(VAL).alias("__a"))
     bn = b.select(*keys, F.col(VAL).alias("__b"))
     return an.join(bn, on=keys, how="inner").select(
-        *keys, op(F.col("__a"), F.col("__b")).alias(VAL)
+        *keys, op(F.col("__a"), F.col("__b"), *_ewise_pos(keys)).alias(VAL)
     )
 
 

@@ -266,3 +266,35 @@ def test_novalue_exception(spark):
     v = Vector.from_lists(spark, [0], [1.0], 2)
     with pytest.raises(NoValue):
         v[1]  # noqa: B018
+
+
+def test_positional_binops_and_semirings(spark):
+    # GxB positional multiply ops (reference binaryop.py:106): C[i,j] =
+    # ⊕_k op(i, k, k, j). MIN_SECONDI = smallest inner index = min common k.
+    a = Matrix.from_lists(spark, [0, 0, 1], [1, 2, 2], True, 3, 3)
+    b = Matrix.from_lists(spark, [1, 2, 2], [0, 0, 1], True, 3, 3)
+    c = a.mxm(b, semiring="MIN_SECONDI")
+    # row 0 reaches col 0 via k=1 and k=2 → min 1; (0,1) via k=2; (1,x) via k=2
+    assert c.to_dict() == {(0, 0): 1, (0, 1): 2, (1, 0): 2, (1, 1): 2}
+    # FIRSTI = the row index i itself
+    ci = a.mxm(b, semiring="MIN_FIRSTI")
+    assert ci.to_dict() == {(0, 0): 0, (0, 1): 0, (1, 0): 1, (1, 1): 1}
+    # SECONDJ1 = 1-based output column
+    cj = a.mxm(b, semiring="MIN_SECONDJ1")
+    assert cj.to_dict() == {(0, 0): 1, (0, 1): 2, (1, 0): 1, (1, 1): 2}
+
+
+def test_bfs_parent_vxm_idiom(spark):
+    # the reference BFS-parent idiom: pi = frontier.vxm(A, <SECONDI sr>)
+    # gives each newly-reached vertex its (min) parent's index
+    I = [0, 0, 1, 1, 2, 3, 3, 4, 5, 6, 6, 6]
+    J = [1, 3, 4, 6, 5, 0, 2, 5, 2, 2, 3, 4]
+    A = Matrix.from_lists(spark, I, J, True, 7, 7)
+    frontier = Vector.from_lists(spark, [0], [True], 7, typ="BOOL")
+    parents = frontier.vxm(A, semiring="MIN_SECONDI")
+    # neighbors of 0 are {1, 3}; their parent (the A-row index k) is 0
+    assert parents.to_dict() == {1: 0, 3: 0}
+    # second hop: parents of the next frontier, min rule
+    f2 = Vector.from_lists(spark, [1, 3], [True, True], 7, typ="BOOL")
+    p2 = f2.vxm(A, semiring="MIN_SECONDI")
+    assert p2.to_dict() == {4: 1, 6: 1, 0: 3, 2: 3}
