@@ -264,6 +264,7 @@ def binary_op(name: str, fn: Callable[..., Column] = None, positional: bool = Fa
 binary_op("FIRST", lambda a, b: a)
 binary_op("SECOND", lambda a, b: b)
 binary_op("PAIR", lambda a, b: F.lit(1))
+_BINARY["ONEB"] = _BINARY["PAIR"]  # GrB_ONEB is PAIR's spec name
 binary_op("ANY", lambda a, b: a)  # ANY may return either; we pin FIRST for determinism
 
 # Positional binops (reference binaryop.py:106 GxB_FIRSTI/SECONDJ/...):

@@ -457,6 +457,38 @@ class Matrix:
 
     gb_type = type
 
+    def __getattr__(self, name: str):
+        """Type-operator attribute dispatch (reference matrix.py:1607):
+        ``A.PLUS_TIMES(B)`` / ``A.plus_times(B)`` is semiring matmul,
+        ``A.PLUS(B)`` element-wise emult, ``A.MINV()`` apply,
+        ``A.PLUS_MONOID()`` reduce — the op resolved against A's type."""
+        typ = self.__dict__.get("typ")  # no recursion before __init__
+        if name.startswith("_") or typ is None:
+            raise AttributeError(name)
+        from pygraphblas_spark import algebra
+
+        try:
+            op = getattr(gbtypes.GBType(typ), name.upper())
+        except AttributeError:
+            raise AttributeError(
+                f"Matrix has no attribute or type operator {name!r}"
+            )
+        if isinstance(op, algebra.Semiring):
+
+            def contract(other, *a, **kw):
+                from pygraphblas_spark.vector import Vector
+
+                if isinstance(other, Vector):
+                    return self.mxv(other, semiring=op, *a, **kw)
+                return self.mxm(other, semiring=op, *a, **kw)
+
+            return contract
+        if isinstance(op, algebra.BinaryOp):
+            return lambda other, *a, **kw: self.emult(other, op, *a, **kw)
+        if isinstance(op, algebra.Monoid):
+            return lambda *a, **kw: self.reduce(op)
+        return lambda *a, **kw: self.apply(op, *a, **kw)
+
     @property
     def memory_usage(self) -> int:
         """Estimated bytes held by this matrix (reference matrix.py:706

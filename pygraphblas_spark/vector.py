@@ -183,6 +183,29 @@ class Vector:
 
     gb_type = type
 
+    def __getattr__(self, name: str):
+        """Type-operator attribute dispatch (reference vector.py analog of
+        matrix.py:1607): ``v.PLUS_TIMES(A)`` → vxm, ``v.PLUS(w)`` → emult,
+        ``v.MINV()`` → apply, ``v.PLUS_MONOID()`` → reduce."""
+        typ = self.__dict__.get("typ")  # no recursion before __init__
+        if name.startswith("_") or typ is None:
+            raise AttributeError(name)
+        from pygraphblas_spark import algebra
+
+        try:
+            op = getattr(gbtypes.GBType(typ), name.upper())
+        except AttributeError:
+            raise AttributeError(
+                f"Vector has no attribute or type operator {name!r}"
+            )
+        if isinstance(op, algebra.Semiring):
+            return lambda other, *a, **kw: self.vxm(other, semiring=op, *a, **kw)
+        if isinstance(op, algebra.BinaryOp):
+            return lambda other, *a, **kw: self.emult(other, op, *a, **kw)
+        if isinstance(op, algebra.Monoid):
+            return lambda *a, **kw: self.reduce(op)
+        return lambda *a, **kw: self.apply(op, *a, **kw)
+
     @property
     def memory_usage(self) -> int:
         """Estimated bytes held (reference vector.py:542)."""

@@ -298,3 +298,23 @@ def test_bfs_parent_vxm_idiom(spark):
     f2 = Vector.from_lists(spark, [1, 3], [True, True], 7, typ="BOOL")
     p2 = f2.vxm(A, semiring="MIN_SECONDI")
     assert p2.to_dict() == {4: 1, 6: 1, 0: 3, 2: 3}
+
+
+def test_type_operator_attribute_dispatch(spark):
+    # reference matrix.py:1607 __getattr__: ops resolve on the object's
+    # type and bind the object — A.plus_times(B) == A.mxm(B, PLUS_TIMES)
+    a = Matrix.from_lists(spark, [0, 0, 1], [0, 1, 1], [1.0, 2.0, 3.0], 2, 2)
+    b = Matrix.from_lists(spark, [0, 1], [0, 0], [10.0, 100.0], 2, 2)
+    assert a.plus_times(b).to_dict() == {(0, 0): 210.0, (1, 0): 300.0}
+    assert a.PLUS_TIMES(b).to_dict() == a.mxm(b, semiring="PLUS_TIMES").to_dict()
+    # BinaryOp attribute = emult
+    c = Matrix.from_lists(spark, [0], [0], [5.0], 2, 2)
+    assert a.plus(c).to_dict() == {(0, 0): 6.0}
+    # UnaryOp attribute = apply; Monoid = reduce
+    assert a.minv().to_dict() == {(0, 0): 1.0, (0, 1): 0.5, (1, 1): 1.0 / 3.0}
+    assert a.plus_monoid() == 6.0
+    # vector: semiring attr = vxm
+    v = Vector.from_lists(spark, [0, 1], [1.0, 1.0], 2)
+    assert v.plus_times(a).to_dict() == {0: 1.0, 1: 5.0}
+    with pytest.raises(AttributeError):
+        a.not_an_op_at_all  # noqa: B018
