@@ -38,7 +38,75 @@ def bfs_levels(
     spark = edges.sparkSession
     ckpt = checkpoint or CheckpointManager(algorithm="bfs")
     with iteration_conf(spark):
+        incore = _try_incore(spark, edges, source, max_levels, ckpt, parents=False)
+        if incore is not None:
+            return incore
         return _bfs_loop(spark, edges, source, max_levels, ckpt)
+
+
+def _try_incore(spark, edges, source, max_levels, ckpt, parents, weighted=False):
+    """Sub-crossover graphs run the whole frontier loop driver-side in
+    numpy — zero Spark jobs per level (the same in-core tier pagerank /
+    cc / lpa have in kernels/csr_dense.py). Returns None when the graph
+    is too big or the master is a real cluster."""
+    from pygraphblas_spark.kernels.csr_dense import (
+        INCORE_MAX_NNZ,
+        _frontier_gather,
+        _incore_out_csr,
+        _maybe_durable,
+    )
+    import numpy as np
+    import pandas as pd
+
+    if not spark.sparkContext.master.startswith("local"):
+        return None
+    if edges.count() > INCORE_MAX_NNZ:
+        return None
+    n, indptr, dst, w = _incore_out_csr(edges, weighted=weighted)
+    s = int(source)
+    if n == 0 or s >= n:
+        n = max(n, s + 1)
+        out = pd.DataFrame({"id": [s], "level": np.array([0], dtype="int32")})
+        if parents:
+            out["parent"] = np.array([s], dtype="int64")
+        return spark.createDataFrame(out)
+
+    level = np.full(n, -1, dtype="int64")
+    parent = np.full(n, -1, dtype="int64") if parents else None
+    level[s] = 0
+    if parents:
+        parent[s] = s
+    frontier = np.array([s], dtype="int64")
+    lvl = 0
+    # the join path assigns levels 1..max_levels (it breaks before
+    # unioning a level > max_levels) — match exactly
+    while len(frontier) and lvl < max_levels:
+        lvl += 1
+        idx, esrc = _frontier_gather(indptr, frontier)
+        neigh = dst[idx]
+        fresh = level[neigh] < 0
+        cand, cpar = neigh[fresh], esrc[fresh]
+        if len(cand) == 0:
+            break
+        new_nodes = np.unique(cand)
+        if parents:
+            # deterministic MIN-parent (matches the join path's F.min)
+            best = np.full(n, np.iinfo("int64").max, dtype="int64")
+            np.minimum.at(best, cand, cpar)
+            parent[new_nodes] = best[new_nodes]
+        level[new_nodes] = lvl
+        frontier = new_nodes
+        _maybe_durable(
+            ckpt, spark, lvl, "visited", n, level, "level",
+            {"frontier": int(len(new_nodes))},
+        )
+    reached = np.flatnonzero(level >= 0)
+    out = pd.DataFrame(
+        {"id": reached, "level": level[reached].astype("int32")}
+    )
+    if parents:
+        out["parent"] = parent[reached]
+    return spark.createDataFrame(out)
 
 
 def _bfs_loop(spark, edges, source, max_levels, ckpt):
@@ -89,6 +157,9 @@ def bfs_tree(
     spark = edges.sparkSession
     ckpt = checkpoint or CheckpointManager(algorithm="bfs_tree")
     with iteration_conf(spark):
+        incore = _try_incore(spark, edges, source, max_levels, ckpt, parents=True)
+        if incore is not None:
+            return incore
         e = edges.select("src", "dst").persist()
         e.count()
 

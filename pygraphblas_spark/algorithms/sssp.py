@@ -33,7 +33,56 @@ def sssp(
     spark = edges.sparkSession
     ckpt = checkpoint or CheckpointManager(algorithm="sssp")
     with iteration_conf(spark):
+        incore = _sssp_incore(spark, edges, source, max_iters, ckpt)
+        if incore is not None:
+            return incore
         return _sssp_loop(spark, edges, source, max_iters, ckpt)
+
+
+def _sssp_incore(spark, edges, source, max_iters, ckpt):
+    """Sub-crossover graphs run Bellman-Ford frontier relaxation
+    driver-side in numpy — zero Spark jobs per round (the in-core tier;
+    see kernels/csr_dense.py INCORE_MAX_NNZ). Returns None off-tier."""
+    from pygraphblas_spark.kernels.csr_dense import (
+        INCORE_MAX_NNZ,
+        _frontier_gather,
+        _incore_out_csr,
+        _maybe_durable,
+    )
+    import numpy as np
+    import pandas as pd
+
+    if not spark.sparkContext.master.startswith("local"):
+        return None
+    if edges.count() > INCORE_MAX_NNZ:
+        return None
+    n, indptr, dst, w = _incore_out_csr(edges, weighted=True)
+    s = int(source)
+    if n == 0 or s >= n:
+        return spark.createDataFrame([(s, 0.0)], "id long, dist double")
+
+    dist = np.full(n, np.inf)
+    dist[s] = 0.0
+    frontier = np.array([s], dtype="int64")
+    for it in range(max_iters):
+        idx, esrc = _frontier_gather(indptr, frontier)
+        if len(idx) == 0:
+            break
+        cand = dist[esrc] + w[idx]
+        new = dist.copy()
+        np.minimum.at(new, dst[idx], cand)
+        frontier = np.flatnonzero(new < dist)
+        dist = new
+        _maybe_durable(
+            ckpt, spark, it + 1, "dist", n, dist, "dist",
+            {"improved": int(len(frontier))},
+        )
+        if len(frontier) == 0:
+            break
+    reached = np.flatnonzero(np.isfinite(dist))
+    return spark.createDataFrame(
+        pd.DataFrame({"id": reached, "dist": dist[reached]})
+    )
 
 
 def _sssp_loop(spark, edges, source, max_iters, ckpt):

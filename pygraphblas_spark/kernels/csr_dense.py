@@ -224,6 +224,45 @@ def _maybe_durable(ckpt, spark, iteration: int, name: str, n: int, vals, col, me
         ckpt.record(iteration, metrics)
 
 
+def _incore_out_csr(edges: DataFrame, weighted: bool = False):
+    """One Arrow pull of (src, dst[, val]) → driver-side OUT-adjacency CSR
+    (n, indptr, dst, w): the frontier-expansion shape BFS/SSSP's in-core
+    tiers gather from (the dst-keyed ``_incore_arrays`` is the opposite,
+    gather-by-target, orientation pagerank/cc/lpa use)."""
+    cols = ["src", "dst"] + (["val"] if weighted else [])
+    tbl = edges.select(*cols).toArrow()
+    src = np.asarray(tbl.column("src").to_numpy(zero_copy_only=False), dtype="int64")
+    dst = np.asarray(tbl.column("dst").to_numpy(zero_copy_only=False), dtype="int64")
+    w = (
+        np.asarray(tbl.column("val").to_numpy(zero_copy_only=False), dtype="float64")
+        if weighted
+        else None
+    )
+    if len(src) == 0:
+        z = np.zeros(0, dtype="int64")
+        return 0, np.zeros(1, dtype="int64"), z, (np.zeros(0) if weighted else None)
+    n = int(max(src.max(), dst.max())) + 1
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    if weighted:
+        w = w[order]
+    indptr = np.searchsorted(src, np.arange(n + 1, dtype="int64"))
+    return n, indptr, dst, w
+
+
+def _frontier_gather(indptr, frontier):
+    """Edge indices out of every frontier vertex, plus the per-edge
+    source repeat — the vectorized adjacency-slice concatenation."""
+    starts = indptr[frontier]
+    counts = indptr[frontier + 1] - starts
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype="int64"), np.zeros(0, dtype="int64")
+    offs = np.repeat(np.cumsum(counts) - counts, counts)
+    idx = np.arange(total, dtype="int64") - offs + np.repeat(starts, counts)
+    return idx, np.repeat(frontier, counts)
+
+
 def _incore_arrays(edges: DataFrame):
     """One Arrow pull of (src, dst) → the same (uniq, starts, src) CSR
     arrays a single dst-block would hold, built driver-side. Feeds the

@@ -329,3 +329,32 @@ def test_betweenness_waves_match_single_batch(spark):
     }
     for v in range(7):
         assert got.get(v, 0.0) == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_bfs_sssp_incore_matches_join_path(spark, monkeypatch):
+    # the in-core frontier tier must produce byte-identical results to
+    # the distributed join loop (same cross-strategy contract as
+    # pagerank/cc/lpa)
+    from pygraphblas_spark.algorithms import bfs_levels, bfs_tree, sssp
+    from pygraphblas_spark.kernels import csr_dense
+
+    edges = [
+        (0, 1), (0, 3), (1, 4), (1, 6), (2, 5), (3, 0), (3, 2),
+        (4, 5), (5, 2), (6, 2), (6, 3), (6, 4), (7, 8), (8, 7),
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    ew = e.withColumn("val", (F.col("src") % 3 + 1).cast("double"))
+
+    def run_all():
+        return (
+            sorted(map(tuple, bfs_levels(e, 0).collect())),
+            sorted(map(tuple, bfs_tree(e, 0).collect())),
+            sorted(map(tuple, sssp(ew, 0, max_iters=50).collect())),
+        )
+
+    incore = run_all()
+    monkeypatch.setattr(csr_dense, "INCORE_MAX_NNZ", 0)  # force join path
+    join_path = run_all()
+    assert incore == join_path
+    # unreachable component {7, 8} must be absent
+    assert all(r[0] not in (7, 8) for r in incore[0])
