@@ -90,6 +90,32 @@ def betweenness_centrality(
             n_src = min(sample_sources, n)
         srcs = srcs.localCheckpoint(eager=True)
 
+        # In-core tier: sub-crossover graphs with a bounded source set run
+        # full numpy Brandes driver-side — zero Spark jobs per level
+        # (same tier as pagerank/cc/lpa/bfs/sssp). The join-path waves
+        # remain the cluster/exact-BC engine.
+        from pygraphblas_spark.kernels.csr_dense import INCORE_MAX_NNZ
+
+        if (
+            spark.sparkContext.master.startswith("local")
+            and n_src <= 4096
+            and e.count() <= INCORE_MAX_NNZ
+        ):
+            try:
+                src_ids = [r["source"] for r in srcs.collect()]
+                bc_df = _bc_incore(spark, e, src_ids)
+                bc = verts.join(bc_df, "id", "left_outer").select(
+                    "id", F.coalesce(F.col("bc"), F.lit(0.0)).alias("bc")
+                )
+                if normalized and n > 2:
+                    bc = bc.select(
+                        "id", (F.col("bc") / ((n - 1) * (n - 2))).alias("bc")
+                    )
+                return bc.localCheckpoint(eager=True)
+            finally:
+                e.unpersist()
+                verts.unpersist()
+
         n_waves = max(1, -(-n_src // wave_size))
         try:
             bc = None
@@ -249,3 +275,63 @@ def _bc_wave(spark, e, srcs, max_levels):
     for d in deltas:
         release_state(d)
     return bc
+
+
+def _bc_incore(spark, e, src_ids):
+    """Vectorized numpy Brandes per source over a driver-side out-CSR
+    (one Arrow pull). Each source costs O(E) of numpy gathers — the exact
+    algorithm the join-path waves run, minus the per-level Spark jobs."""
+    import numpy as np
+    import pandas as pd
+
+    from pygraphblas_spark.kernels.csr_dense import (
+        _frontier_gather,
+        _incore_out_csr,
+    )
+
+    n, indptr, dst, _ = _incore_out_csr(e)
+    bc = np.zeros(n)
+    for s in src_ids:
+        s = int(s)
+        if s >= n:
+            continue  # source absent from the graph: no dependencies
+        level = np.full(n, -1, dtype="int64")
+        sigma = np.zeros(n)
+        level[s] = 0
+        sigma[s] = 1.0
+        frontiers = [np.array([s], dtype="int64")]
+        d = 0
+        while True:
+            idx, esrc = _frontier_gather(indptr, frontiers[-1])
+            if len(idx) == 0:
+                break
+            neigh = dst[idx]
+            # discover depth d+1
+            fresh = level[neigh] < 0
+            if fresh.any():
+                level[np.unique(neigh[fresh])] = d + 1
+            # count shortest paths along edges into depth d+1
+            on_next = level[neigh] == d + 1
+            np.add.at(sigma, neigh[on_next], sigma[esrc[on_next]])
+            nxt = np.unique(neigh[fresh])
+            if len(nxt) == 0:
+                break
+            frontiers.append(nxt)
+            d += 1
+        # backward dependency sweep
+        delta = np.zeros(n)
+        for depth in range(len(frontiers) - 1, 0, -1):
+            prev = frontiers[depth - 1]
+            idx, esrc = _frontier_gather(indptr, prev)
+            if len(idx) == 0:
+                continue
+            neigh = dst[idx]
+            m = level[neigh] == depth
+            contrib = (sigma[esrc[m]] / sigma[neigh[m]]) * (1.0 + delta[neigh[m]])
+            np.add.at(delta, esrc[m], contrib)
+        delta[s] = 0.0
+        bc += delta
+    ids = np.flatnonzero(bc != 0.0)
+    if len(ids) == 0:
+        return spark.createDataFrame([], "id long, bc double")
+    return spark.createDataFrame(pd.DataFrame({"id": ids, "bc": bc[ids]}))

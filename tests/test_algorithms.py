@@ -358,3 +358,26 @@ def test_bfs_sssp_incore_matches_join_path(spark, monkeypatch):
     assert incore == join_path
     # unreachable component {7, 8} must be absent
     assert all(r[0] not in (7, 8) for r in incore[0])
+
+
+def test_betweenness_incore_matches_join_path(spark, monkeypatch):
+    from pygraphblas_spark.algorithms import betweenness_centrality
+    from pygraphblas_spark.kernels import csr_dense
+
+    edges = [
+        (0, 1), (0, 3), (1, 4), (1, 6), (2, 5), (3, 0), (3, 2),
+        (4, 5), (5, 2), (6, 2), (6, 3), (6, 4),
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+
+    def run():
+        return {
+            r["id"]: round(r["bc"], 9)
+            for r in betweenness_centrality(
+                e, sources=[0, 2, 6], directed=False
+            ).collect()
+        }
+
+    incore = run()
+    monkeypatch.setattr(csr_dense, "INCORE_MAX_NNZ", 0)  # force join path
+    assert incore == run()
