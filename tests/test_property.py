@@ -292,3 +292,70 @@ def test_vector_write_rule_matches_oracle(
         use_accum, structural, complement, replace,
     )
     assert got == want
+
+
+def _assign_oracle(c_old, region, value, m, accum, structural, complement, replace):
+    """Reference GrB_assign semantics on dicts — region cells (mask-
+    gated) receive the scalar (accum-merged), others pass through;
+    REPLACE clears what the mask does not admit."""
+    def mask_true(k):
+        hit = k in m and (structural or bool(m[k]))
+        return (not hit) if complement else hit
+
+    target = {k for k in region if m is None or mask_true(k)}
+    out = dict(c_old)
+    for k in target:
+        out[k] = out[k] + value if (accum and k in out) else value
+    if replace and m is not None:
+        out = {k: v for k, v in out.items() if mask_true(k)}
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture],
+          derandomize=True)
+@given(
+    c=coo(), m=coo(),
+    r0=st.integers(0, 3), rn=st.integers(1, 3),
+    c0=st.integers(0, 3), cn=st.integers(1, 3),
+    value=st.integers(-9, 9),
+    use_accum=st.booleans(),
+    structural=st.booleans(),
+    complement=st.booleans(),
+    replace=st.booleans(),
+)
+def test_assign_scalar_write_rule_matches_oracle(
+    spark, c, m, r0, rn, c0, cn, value,
+    use_accum, structural, complement, replace,
+):
+    from pygraphblas_spark.descriptor import Descriptor
+
+    rows = slice(r0, min(r0 + rn, DIM - 1))
+    cols = slice(c0, min(c0 + cn, DIM - 1))
+    desc = Descriptor(
+        mask_complement=complement,
+        mask_structural=structural,
+        replace=replace,
+    )
+    got = (
+        mat(spark, c)
+        .assign_scalar(
+            value,
+            rows=rows,
+            cols=cols,
+            mask=mat(spark, m),
+            accum="PLUS" if use_accum else None,
+            desc=desc,
+        )
+        .to_dict()
+    )
+    region = {
+        (i, j)
+        for i in range(rows.start, rows.stop + 1)
+        for j in range(cols.start, cols.stop + 1)
+    }
+    want = _assign_oracle(
+        _coo_dict(c), region, value, _coo_dict(m),
+        use_accum, structural, complement, replace,
+    )
+    assert got == want
