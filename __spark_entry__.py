@@ -986,6 +986,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id").alias("dst"), F.col("val").cast("long").alias("qty")
         )
 
+    def pii_redaction(spark, sf):
+        # PII scrub (emails/phones/IPs) — deterministic synthetic contact
+        # lines appended so the redaction paths actually fire; identical
+        # concat + regexes in the DuckDB twin
+        from pygraphblas_spark.pipeline.text import redact_pii
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 555-123-4567 at 10.0.0."),
+                (F.col("doc_id") % 255).cast("string"),
+            ),
+        )
+        return redact_pii(docs).select(
+            "doc_id",
+            "n_emails",
+            "n_phones",
+            "n_ips",
+            F.sha2(F.col("text_redacted"), 256).alias("redacted_sha"),
+        )
+
+    def repetition_flags(spark, sf):
+        # Gopher-style duplicate-line/word fractions (quality filtering)
+        from pygraphblas_spark.pipeline.text import add_repetition_flags
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return add_repetition_flags(docs).select(
+            "doc_id", "dup_line_frac", "dup_word_frac"
+        )
+
     def bfs_parents(spark, sf):
         # BFS tree (levels + deterministic MIN-parent — the reference's
         # SECONDI positional-semiring parent-BFS demo, pinned to MIN for
@@ -1114,6 +1147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_row": extract_row,
         "events_window": events_window,
         "user_sessions": user_sessions,
+        "pii_redaction": pii_redaction,
+        "repetition_flags": repetition_flags,
         "bfs_parents": bfs_parents,
         "stream_dedup": stream_dedup,
         "stride_extract": stride_extract,
@@ -1210,6 +1245,30 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE r.level < 30 "
             ") "
             "SELECT id, CAST(MIN(level) AS INT) AS level FROM r GROUP BY id"
+        ),
+        "pii_redaction": (
+            "WITH t AS (SELECT doc_id, text || ' contact: user' || CAST(doc_id AS VARCHAR) "
+            "|| '@example.com or +1 555-123-4567 at 10.0.0.' || CAST(doc_id % 255 AS VARCHAR) AS text "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)) AS n_emails, "
+            "len(regexp_extract_all(text, '\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}[-. ]?\\d{0,4}', 0)) AS n_phones, "
+            "len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', 0)) AS n_ips, "
+            "sha256(regexp_replace(regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}[-. ]?\\d{0,4}', '<PHONE>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')) AS redacted_sha "
+            "FROM t"
+        ),
+        "repetition_flags": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS lines, "
+            r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS words "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "ROUND(CASE WHEN len(lines) > 0 THEN (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines) ELSE 0.0 END, 6) AS dup_line_frac, "
+            "ROUND(CASE WHEN len(words) > 0 THEN (len(words) - len(list_distinct(words))) * 1.0 / len(words) ELSE 0.0 END, 6) AS dup_word_frac "
+            "FROM t"
         ),
         "bfs_parents": (
             # levels via the BFS CTE; parent = MIN in-neighbor one level up

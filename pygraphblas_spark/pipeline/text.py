@@ -140,3 +140,53 @@ def add_winnowing_fingerprints(
         )
     )
     return df.withColumn("winnow_fps", fps)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``text_redacted`` + per-kind hit counts: regex scrubbing of
+    the PII classes every LLM training pipeline strips before training —
+    emails, phone numbers, IPv4 addresses. Pure codegen
+    ``regexp_replace`` / ``regexp_count`` — scan-speed, no UDFs; the
+    patterns are deliberately simple enough to be portable to any SQL
+    engine (the DuckDB oracle runs the identical regexes).
+    """
+    t = F.col(text_col)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    # international-ish phone: optional +CC, 3 groups with separators
+    phone = r"\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}[-. ]?\d{0,4}"
+    ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    red = F.regexp_replace(t, email, "<EMAIL>")
+    red = F.regexp_replace(red, phone, "<PHONE>")
+    red = F.regexp_replace(red, ipv4, "<IP>")
+    return (
+        df.withColumn("n_emails", F.regexp_count(t, F.lit(email)))
+        .withColumn("n_phones", F.regexp_count(t, F.lit(phone)))
+        .withColumn("n_ips", F.regexp_count(t, F.lit(ipv4)))
+        .withColumn("text_redacted", red)
+    )
+
+
+def add_repetition_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append Gopher-style repetition quality signals (Rae et al. 2021
+    §A1.1): the fraction of lines / words that are duplicates of earlier
+    ones in the same document. High values mark boilerplate and degenerate
+    generations for corpus filtering.
+
+    All JVM array expressions: split → size vs ``array_distinct`` size —
+    one projection, no shuffle, no Python.
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, r"\n"), lambda x: F.length(F.trim(x)) > 0)
+    words = F.filter(
+        F.split(F.lower(F.trim(t)), r"\s+"), lambda x: F.length(x) > 0
+    )
+    def dup_frac(arr):
+        n = F.size(arr)
+        return F.when(
+            n > 0, (n - F.size(F.array_distinct(arr))) / n
+        ).otherwise(F.lit(0.0))
+
+    return (
+        df.withColumn("dup_line_frac", _round6(dup_frac(lines)))
+        .withColumn("dup_word_frac", _round6(dup_frac(words)))
+    )

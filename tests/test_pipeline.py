@@ -341,3 +341,35 @@ def test_media_real_payload_parse_roundtrip(spark):
             assert r["parsed_duration_ms"] == (i % 30 + 1) * 1000
         else:  # video: explicitly still stubbed
             assert not r["parse_ok"]
+
+
+def test_redact_pii(spark):
+    from pygraphblas_spark.pipeline.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.io or call +1 555-123-4567; host 10.0.0.7 ok")],
+        "doc_id long, text string",
+    )
+    r = redact_pii(df).first()
+    assert r["n_emails"] == 1 and r["n_phones"] == 1 and r["n_ips"] == 1
+    assert "<EMAIL>" in r["text_redacted"]
+    assert "<PHONE>" in r["text_redacted"]
+    assert "<IP>" in r["text_redacted"]
+    assert "a@b.io" not in r["text_redacted"]
+
+
+def test_repetition_flags(spark):
+    from pygraphblas_spark.pipeline.text import add_repetition_flags
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam\nspam\nspam\nham"),      # 2/4 duplicate lines
+            (2, "all lines differ\nhere"),
+            (3, "a a a b"),                     # 2/4 duplicate words
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in add_repetition_flags(df).collect()}
+    assert got[1]["dup_line_frac"] == 0.5
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[3]["dup_word_frac"] == 0.5
