@@ -986,6 +986,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id").alias("dst"), F.col("val").cast("long").alias("qty")
         )
 
+    def contamination(spark, sf):
+        # benchmark-decontamination: n-gram containment of probe texts
+        # (deterministic mid-document slices) inside corpus documents —
+        # probes broadcast, docs stream through one explode + hash join
+        from pygraphblas_spark.pipeline.dedup import ngram_containment
+
+        docs = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 300)
+            .select("doc_id", "text")
+        )
+        probes = docs.filter(F.col("doc_id") % 100 == 7).select(
+            F.col("doc_id").alias("probe_id"),
+            F.substring("text", 50, 200).alias("text"),
+        )
+        return ngram_containment(docs, probes, threshold=0.2)
+
     def pii_redaction(spark, sf):
         # PII scrub (emails/phones/IPs) — deterministic synthetic contact
         # lines appended so the redaction paths actually fire; identical
@@ -1147,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_row": extract_row,
         "events_window": events_window,
         "user_sessions": user_sessions,
+        "contamination": contamination,
         "pii_redaction": pii_redaction,
         "repetition_flags": repetition_flags,
         "bfs_parents": bfs_parents,
@@ -1245,6 +1263,17 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE r.level < 30 "
             ") "
             "SELECT id, CAST(MIN(level) AS INT) AS level FROM r GROUP BY id"
+        ),
+        "contamination": (
+            f"WITH d AS MATERIALIZED (SELECT doc_id, {_SHINGLES} AS sh "
+            "FROM documents WHERE doc_id < 300), "
+            "p0 AS (SELECT doc_id AS probe_id, substr(text, 50, 200) AS text "
+            "FROM documents WHERE doc_id % 100 = 7 AND doc_id < 300), "
+            f"p AS MATERIALIZED (SELECT probe_id, {_SHINGLES} AS sh FROM p0) "
+            "SELECT d.doc_id, p.probe_id, "
+            "ROUND(len(list_intersect(d.sh, p.sh)) * 1.0 / len(p.sh), 6) AS containment "
+            "FROM d, p "
+            "WHERE len(list_intersect(d.sh, p.sh)) * 1.0 / len(p.sh) >= 0.2"
         ),
         "pii_redaction": (
             "WITH t AS (SELECT doc_id, text || ' contact: user' || CAST(doc_id AS VARCHAR) "

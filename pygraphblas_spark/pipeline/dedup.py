@@ -446,3 +446,47 @@ def embedding_near_duplicates(
         .filter(F.col("cos_exact") >= threshold)
         .select("id_a", "id_b", F.round("cos_exact", 6).alias("cos"))
     )
+
+
+def ngram_containment(
+    docs: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "probe_id",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Benchmark-contamination check: for every (doc, probe) pair, the
+    CONTAINMENT |shingles(probe) ∩ shingles(doc)| / |shingles(probe)| —
+    the standard decontamination measure (a probe fully quoted inside a
+    much larger doc scores 1.0 where symmetric Jaccard would dilute).
+
+    Scale shape: probes (the benchmark suite) are tiny next to the
+    corpus — their exploded shingle index broadcasts; docs stream
+    through one explode + hash join, aggregating matches per pair. No
+    all-pairs anything.
+    """
+    d_sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).distinct()
+    p_sh = probes.select(
+        F.col(probe_id_col).alias("probe_id"),
+        F.explode(_word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).distinct()
+    p_size = p_sh.groupBy("probe_id").agg(F.count(F.lit(1)).alias("p_n"))
+    hits = (
+        d_sh.join(F.broadcast(p_sh), "sh")
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        hits.join(F.broadcast(p_size), "probe_id")
+        .select(
+            "doc_id",
+            "probe_id",
+            F.round(F.col("n_hit") / F.col("p_n"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

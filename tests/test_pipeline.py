@@ -373,3 +373,25 @@ def test_repetition_flags(spark):
     assert got[1]["dup_line_frac"] == 0.5
     assert got[2]["dup_line_frac"] == 0.0
     assert got[3]["dup_word_frac"] == 0.5
+
+
+def test_ngram_containment(spark):
+    from pygraphblas_spark.pipeline.dedup import ngram_containment
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated text about spark physical plans"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, "quick brown fox jumps over")],  # fully contained in doc 1
+        "probe_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["probe_id"]): r["containment"]
+        for r in ngram_containment(docs, probes).collect()
+    }
+    assert got[(1, 100)] == 1.0
+    assert (2, 100) not in got or got[(2, 100)] == 0.0
