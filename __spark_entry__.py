@@ -986,6 +986,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id").alias("dst"), F.col("val").cast("long").alias("qty")
         )
 
+    def simhash_near_dups(spark, sf):
+        # SimHash pigeonhole-banded near-dup pairs (sha256 hash mode so
+        # the DuckDB twin reproduces signatures, buckets, and Hamming)
+        from pygraphblas_spark.pipeline.dedup import simhash_near_pairs
+
+        docs = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 300)
+            .select("doc_id", "text")
+        )
+        return simhash_near_pairs(docs, max_hamming=6, hash_mode="sha256")
+
     def contamination(spark, sf):
         # benchmark-decontamination: n-gram containment of probe texts
         # (deterministic mid-document slices) inside corpus documents —
@@ -1164,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_row": extract_row,
         "events_window": events_window,
         "user_sessions": user_sessions,
+        "simhash_near_dups": simhash_near_dups,
         "contamination": contamination,
         "pii_redaction": pii_redaction,
         "repetition_flags": repetition_flags,
@@ -1263,6 +1276,21 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE r.level < 30 "
             ") "
             "SELECT id, CAST(MIN(level) AS INT) AS level FROM r GROUP BY id"
+        ),
+        "simhash_near_dups": (
+            "WITH sigs AS MATERIALIZED (" + _simhash_oracle() + "), "
+            "chunks AS ( "
+            + " UNION ALL ".join(
+                f"SELECT doc_id, simhash, {c} AS chunk, "
+                f"(simhash >> {16 * c}) & 65535 AS key FROM sigs"
+                for c in range(4)
+            )
+            + " ) "
+            "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+            "FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.key = b.key "
+            "WHERE a.doc_id < b.doc_id "
+            "AND bit_count(xor(a.simhash, b.simhash)) <= 6"
         ),
         "contamination": (
             f"WITH d AS MATERIALIZED (SELECT doc_id, {_SHINGLES} AS sh "

@@ -289,11 +289,14 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding: 4 chunks of 16 bits — any pair
     within Hamming ≤ 3 of a 64-bit signature must agree exactly on ≥1
-    chunk (pigeonhole), so the bucket join finds all of them."""
-    sigs = simhash_signatures(df, id_col, text_col)
+    chunk (pigeonhole), so the bucket join finds all of them.
+    ``hash_mode='sha256'`` makes the whole pipeline cross-engine
+    reproducible (DuckDB-oracle-checkable)."""
+    sigs = simhash_signatures(df, id_col, text_col, hash_mode=hash_mode)
     chunks = sigs.select(
         "doc_id",
         "simhash",
