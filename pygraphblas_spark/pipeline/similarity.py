@@ -246,6 +246,33 @@ def _rerank_pairs(
     )
 
 
+def _kmeans_refine(
+    b: DataFrame, centroids, iters: int, vec_col: str
+):
+    """Lloyd refinement of the sampled centroids: assign every base
+    vector to its nearest centroid (the same Arrow-batched matmul the
+    index build uses), recompute each centroid as the mean of its list
+    via posexplode + groupBy (one shuffle of (list_id, pos, val) floats
+    per round — never the whole vectors to the driver), pull only the
+    C×d means back. Empty lists keep their previous centroid."""
+    for _ in range(max(0, iters)):
+        assign = _assign_lists(b, centroids, 1, "bid", vec_col)
+        comp = (
+            b.join(assign, b["__id"] == F.col("bid"))
+            .select("list_id", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("m"))
+        )
+        pdf = comp.toPandas()
+        new = centroids.copy()
+        for lid, grp in pdf.groupby("list_id"):
+            new[int(lid), grp["pos"].to_numpy()] = grp["m"].to_numpy()
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        centroids = new / norms
+    return centroids
+
+
 def ivf_topk(
     base: DataFrame,
     queries: DataFrame,
@@ -254,6 +281,7 @@ def ivf_topk(
     nprobe: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k via an inverted-file (IVF) index.
 
@@ -262,9 +290,14 @@ def ivf_topk(
     probes its ``nprobe`` nearest lists and re-ranks exactly within them.
     Output schema matches ``cosine_topk_bruteforce``; recall rises with
     ``nprobe`` (== exact when nprobe == n_centroids).
+    ``kmeans_iters`` > 0 runs that many Lloyd rounds to refine the
+    sampled centroids before the index is built — better-balanced lists,
+    higher recall at the same nprobe.
     """
     centroids = _sample_centroids(base, n_centroids, id_col, vec_col)
     b = base.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    if kmeans_iters:
+        centroids = _kmeans_refine(b, centroids, kmeans_iters, vec_col)
     q = queries.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     bl = _assign_lists(b, centroids, 1, "neighbor_id", vec_col)
     ql = _assign_lists(q, centroids, nprobe, "query_id", vec_col)

@@ -395,3 +395,48 @@ def test_ngram_containment(spark):
     }
     assert got[(1, 100)] == 1.0
     assert (2, 100) not in got or got[(2, 100)] == 0.0
+
+
+def test_ivf_kmeans_refinement(spark):
+    # Lloyd rounds must (a) not change the full-probe result (degenerate
+    # exact case) and (b) reduce mean quantization error vs raw samples
+    import numpy as np
+
+    from pygraphblas_spark.pipeline.similarity import (
+        _kmeans_refine,
+        _sample_centroids,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(4, 8) * 4
+    vecs = [
+        (i, (centers[i % 4] + rng.randn(8) * 0.3).tolist()) for i in range(80)
+    ]
+    base = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    queries = base.filter(F.col("vec_id") < 4)
+
+    exact0 = sorted(
+        map(tuple, ivf_topk(base, queries, k=3, n_centroids=6, nprobe=6).collect())
+    )
+    exact2 = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                base, queries, k=3, n_centroids=6, nprobe=6, kmeans_iters=2
+            ).collect(),
+        )
+    )
+    assert exact0 == exact2  # full probe is exact regardless of centroids
+
+    b = base.select(F.col("vec_id").alias("__id"), F.col("embedding").alias("__v"))
+    c0 = _sample_centroids(base, 6, "vec_id", "embedding")
+    c2 = _kmeans_refine(b, c0, 2, "embedding")
+
+    m = np.array([v for _, v in vecs])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    def qerr(c):
+        return float(np.mean(1.0 - (m @ c.T).max(axis=1)))
+
+    assert qerr(c2) <= qerr(c0) + 1e-12
