@@ -359,3 +359,34 @@ def test_assign_scalar_write_rule_matches_oracle(
         use_accum, structural, complement, replace,
     )
     assert got == want
+
+
+def _vxm_positional_oracle(v: dict, a: dict, which: str) -> dict:
+    """w[j] = min over k (v[k] present, A[k,j] present) of the positional
+    value: FIRSTI/FIRSTJ = k (the vector's index), SECONDI = k (A's row),
+    SECONDJ = j (A's column)."""
+    out: dict = {}
+    for (k, j), _ in a.items():
+        if k in v:
+            val = {"FIRSTI": k, "FIRSTJ": k, "SECONDI": k, "SECONDJ": j}[which]
+            out[j] = min(out.get(j, val), val)
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture],
+          derandomize=True)
+@given(
+    v=vcoo(), a=coo(),
+    which=st.sampled_from(["FIRSTI", "FIRSTJ", "SECONDI", "SECONDJ"]),
+)
+def test_vxm_positional_coordinates(spark, v, a, which):
+    # vxm is implemented as a flipped mxv with an operand-swapped
+    # semiring; the positional coordinate remap inside that swap
+    # (contraction.py vxm) is exactly what this property guards.
+    from pygraphblas_spark.vector import Vector
+
+    vec = Vector.from_lists(spark, v[0], v[1], DIM, typ="INT64")
+    got = vec.vxm(mat(spark, a), semiring=f"MIN_{which}").to_dict()
+    want = _vxm_positional_oracle(dict(zip(*v)), _coo_dict(a), which)
+    assert got == want
