@@ -1279,11 +1279,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash_near_dups": (
             "WITH sigs AS MATERIALIZED (" + _simhash_oracle() + "), "
+            # pigeonhole banding: max_hamming+1 = 7 chunks of
+            # ceil(60/7) = 9 bits (sha-mode signatures carry 60 bits)
             "chunks AS ( "
             + " UNION ALL ".join(
                 f"SELECT doc_id, simhash, {c} AS chunk, "
-                f"(simhash >> {16 * c}) & 65535 AS key FROM sigs"
-                for c in range(4)
+                f"(simhash >> {9 * c}) & 511 AS key FROM sigs"
+                for c in range(7)
             )
             + " ) "
             "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
@@ -1307,15 +1309,19 @@ def oracle_sql() -> dict[str, str]:
             "WITH t AS (SELECT doc_id, text || ' contact: user' || CAST(doc_id AS VARCHAR) "
             "|| '@example.com or +1 555-123-4567 at 10.0.0.' || CAST(doc_id % 255 AS VARCHAR) AS text "
             "FROM documents) "
+            # sequential stages mirror redact_pii: email -> IP -> phone,
+            # each counted on the previous stage's text
             "SELECT doc_id, "
             "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)) AS n_emails, "
-            "len(regexp_extract_all(text, '\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}[-. ]?\\d{0,4}', 0)) AS n_phones, "
-            "len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', 0)) AS n_ips, "
-            "sha256(regexp_replace(regexp_replace(regexp_replace(text, "
-            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
-            "'\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}[-. ]?\\d{0,4}', '<PHONE>', 'g'), "
-            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')) AS redacted_sha "
-            "FROM t"
+            "len(regexp_extract_all(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', 0)) AS n_ips, "
+            "len(regexp_extract_all(t2, '\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}[-. ]?\\d{0,4}', 0)) AS n_phones, "
+            "sha256(regexp_replace(t2, "
+            "'\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}[-. ]?\\d{0,4}', '<PHONE>', 'g')) AS redacted_sha "
+            "FROM (SELECT doc_id, text, t1, "
+            "regexp_replace(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t2 "
+            "FROM (SELECT doc_id, text, "
+            "regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 "
+            "FROM t))"
         ),
         "repetition_flags": (
             "WITH t AS (SELECT doc_id, "

@@ -516,10 +516,13 @@ semiring("PLUS_PAIR", "PLUS", "PAIR", lambda a, b: F.count(F.lit(1)))
 semiring("MIN_PLUS", "MIN", "PLUS", lambda a, b: F.min(a + b))
 semiring("MIN_SECOND", "MIN", "SECOND", lambda a, b: F.min(b))
 semiring("MIN_FIRST", "MIN", "FIRST", lambda a, b: F.min(a))
-semiring("MAX_SECOND", "MAX", "SECOND", lambda a, b: F.max(b))
-semiring("MAX_FIRST", "MAX", "FIRST", lambda a, b: F.max(a))
-semiring("MAX_PLUS", "MAX", "PLUS", lambda a, b: F.max(a + b))
-semiring("MAX_TIMES", "MAX", "TIMES", lambda a, b: F.max(a * b))
+# MAX direct aggregates go through _fmax_agg, not F.max — the shortcut
+# must keep the monoid's C-fmax NaN semantics or the same ⊕=MAX
+# contraction would be NaN-propagating only when the name is pre-listed
+semiring("MAX_SECOND", "MAX", "SECOND", lambda a, b: _fmax_agg(b))
+semiring("MAX_FIRST", "MAX", "FIRST", lambda a, b: _fmax_agg(a))
+semiring("MAX_PLUS", "MAX", "PLUS", lambda a, b: _fmax_agg(a + b))
+semiring("MAX_TIMES", "MAX", "TIMES", lambda a, b: _fmax_agg(a * b))
 semiring(
     "LOR_LAND",
     "LOR",

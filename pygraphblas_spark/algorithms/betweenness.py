@@ -103,7 +103,7 @@ def betweenness_centrality(
         ):
             try:
                 src_ids = [r["source"] for r in srcs.collect()]
-                bc_df = _bc_incore(spark, e, src_ids)
+                bc_df = _bc_incore(spark, e, src_ids, max_levels)
                 bc = verts.join(bc_df, "id", "left_outer").select(
                     "id", F.coalesce(F.col("bc"), F.lit(0.0)).alias("bc")
                 )
@@ -277,7 +277,7 @@ def _bc_wave(spark, e, srcs, max_levels):
     return bc
 
 
-def _bc_incore(spark, e, src_ids):
+def _bc_incore(spark, e, src_ids, max_levels=10_000):
     """Vectorized numpy Brandes per source over a driver-side out-CSR
     (one Arrow pull). Each source costs O(E) of numpy gathers — the exact
     algorithm the join-path waves run, minus the per-level Spark jobs."""
@@ -293,7 +293,7 @@ def _bc_incore(spark, e, src_ids):
     bc = np.zeros(n)
     for s in src_ids:
         s = int(s)
-        if s >= n:
+        if s < 0 or s >= n:
             continue  # source absent from the graph: no dependencies
         level = np.full(n, -1, dtype="int64")
         sigma = np.zeros(n)
@@ -301,21 +301,20 @@ def _bc_incore(spark, e, src_ids):
         sigma[s] = 1.0
         frontiers = [np.array([s], dtype="int64")]
         d = 0
-        while True:
+        while d < max_levels:  # same truncation as the wave path
             idx, esrc = _frontier_gather(indptr, frontiers[-1])
             if len(idx) == 0:
                 break
             neigh = dst[idx]
             # discover depth d+1
             fresh = level[neigh] < 0
-            if fresh.any():
-                level[np.unique(neigh[fresh])] = d + 1
-            # count shortest paths along edges into depth d+1
-            on_next = level[neigh] == d + 1
-            np.add.at(sigma, neigh[on_next], sigma[esrc[on_next]])
             nxt = np.unique(neigh[fresh])
             if len(nxt) == 0:
                 break
+            level[nxt] = d + 1
+            # count shortest paths along edges into depth d+1
+            on_next = level[neigh] == d + 1
+            np.add.at(sigma, neigh[on_next], sigma[esrc[on_next]])
             frontiers.append(nxt)
             d += 1
         # backward dependency sweep

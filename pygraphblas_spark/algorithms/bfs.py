@@ -60,6 +60,8 @@ def _try_incore(spark, edges, source, max_levels, ckpt, parents, weighted=False)
 
     if not spark.sparkContext.master.startswith("local"):
         return None
+    if int(source) < 0:  # join path handles out-of-domain ids gracefully
+        return None
     if edges.count() > INCORE_MAX_NNZ:
         return None
     n, indptr, dst, w = _incore_out_csr(edges, weighted=weighted)

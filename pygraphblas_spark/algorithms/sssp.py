@@ -54,6 +54,8 @@ def _sssp_incore(spark, edges, source, max_iters, ckpt):
 
     if not spark.sparkContext.master.startswith("local"):
         return None
+    if int(source) < 0:  # join path handles out-of-domain ids gracefully
+        return None
     if edges.count() > INCORE_MAX_NNZ:
         return None
     n, indptr, dst, w = _incore_out_csr(edges, weighted=True)

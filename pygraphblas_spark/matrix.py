@@ -474,20 +474,22 @@ class Matrix:
                 f"Matrix has no attribute or type operator {name!r}"
             )
         if isinstance(op, algebra.Semiring):
-
-            def contract(other, *a, **kw):
+            # kwargs only for the modifiers (out/mask/accum/desc):
+            # positional extras would be ambiguous against the bound
+            # semiring slot, so reject them loudly
+            def contract(other, **kw):
                 from pygraphblas_spark.vector import Vector
 
                 if isinstance(other, Vector):
-                    return self.mxv(other, semiring=op, *a, **kw)
-                return self.mxm(other, semiring=op, *a, **kw)
+                    return self.mxv(other, semiring=op, **kw)
+                return self.mxm(other, semiring=op, **kw)
 
             return contract
         if isinstance(op, algebra.BinaryOp):
-            return lambda other, *a, **kw: self.emult(other, op, *a, **kw)
+            return lambda other, **kw: self.emult(other, op, **kw)
         if isinstance(op, algebra.Monoid):
-            return lambda *a, **kw: self.reduce(op)
-        return lambda *a, **kw: self.apply(op, *a, **kw)
+            return lambda: self.reduce(op)  # extras raise TypeError loudly
+        return lambda **kw: self.apply(op, **kw)
 
     @property
     def memory_usage(self) -> int:

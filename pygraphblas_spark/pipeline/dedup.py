@@ -291,12 +291,18 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     hash_mode: str = "xxhash",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash banding: 4 chunks of 16 bits — any pair
-    within Hamming ≤ 3 of a 64-bit signature must agree exactly on ≥1
-    chunk (pigeonhole), so the bucket join finds all of them.
-    ``hash_mode='sha256'`` makes the whole pipeline cross-engine
-    reproducible (DuckDB-oracle-checkable)."""
+    """Near-dup pairs by SimHash banding with a pigeonhole guarantee:
+    signatures are split into ``max_hamming + 1`` chunks, so any pair
+    within the Hamming budget must agree exactly on ≥1 chunk and the
+    bucket join finds ALL of them (max_hamming=3 reproduces the classic
+    4×16-bit split). ``hash_mode='sha256'`` makes the whole pipeline
+    cross-engine reproducible (DuckDB-oracle-checkable); its signatures
+    carry 60 effective bits, so chunk widths size to 60 there."""
     sigs = simhash_signatures(df, id_col, text_col, hash_mode=hash_mode)
+    bits = 60 if hash_mode == "sha256" else 64
+    n_chunks = max_hamming + 1
+    width = -(-bits // n_chunks)  # ceil: chunks cover every variable bit
+    key_mask = (1 << width) - 1
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -305,11 +311,11 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), width * c)
+                        .bitwiseAND(F.lit(key_mask))
                         .alias("key"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("cc"),

@@ -155,14 +155,17 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     # international-ish phone: optional +CC, 3 groups with separators
     phone = r"\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}[-. ]?\d{0,4}"
     ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-    red = F.regexp_replace(t, email, "<EMAIL>")
-    red = F.regexp_replace(red, phone, "<PHONE>")
-    red = F.regexp_replace(red, ipv4, "<IP>")
+    # sequential: each kind counts + redacts on the PREVIOUS stage's text,
+    # and IP runs before phone (dotted quads would otherwise match the
+    # looser phone pattern) — one span, one classification, one count
+    t1 = F.regexp_replace(t, email, "<EMAIL>")
+    t2 = F.regexp_replace(t1, ipv4, "<IP>")
+    t3 = F.regexp_replace(t2, phone, "<PHONE>")
     return (
         df.withColumn("n_emails", F.regexp_count(t, F.lit(email)))
-        .withColumn("n_phones", F.regexp_count(t, F.lit(phone)))
-        .withColumn("n_ips", F.regexp_count(t, F.lit(ipv4)))
-        .withColumn("text_redacted", red)
+        .withColumn("n_ips", F.regexp_count(t1, F.lit(ipv4)))
+        .withColumn("n_phones", F.regexp_count(t2, F.lit(phone)))
+        .withColumn("text_redacted", t3)
     )
 
 

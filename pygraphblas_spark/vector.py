@@ -198,13 +198,15 @@ class Vector:
             raise AttributeError(
                 f"Vector has no attribute or type operator {name!r}"
             )
+        # kwargs only for modifiers — positional extras would be ambiguous
+        # against the bound op slot (see Matrix.__getattr__)
         if isinstance(op, algebra.Semiring):
-            return lambda other, *a, **kw: self.vxm(other, semiring=op, *a, **kw)
+            return lambda other, **kw: self.vxm(other, semiring=op, **kw)
         if isinstance(op, algebra.BinaryOp):
-            return lambda other, *a, **kw: self.emult(other, op, *a, **kw)
+            return lambda other, **kw: self.emult(other, op, **kw)
         if isinstance(op, algebra.Monoid):
-            return lambda *a, **kw: self.reduce(op)
-        return lambda *a, **kw: self.apply(op, *a, **kw)
+            return lambda: self.reduce(op)
+        return lambda **kw: self.apply(op, **kw)
 
     @property
     def memory_usage(self) -> int:

@@ -318,3 +318,49 @@ def test_type_operator_attribute_dispatch(spark):
     assert v.plus_times(a).to_dict() == {0: 1.0, 1: 5.0}
     with pytest.raises(AttributeError):
         a.not_an_op_at_all  # noqa: B018
+
+
+def test_dispatch_rejects_ambiguous_positional_args(spark):
+    a = Matrix.from_lists(spark, [0], [0], [1.0], 1, 1)
+    with pytest.raises(TypeError):
+        a.plus_times(a, a)  # positional extras are ambiguous — kwargs only
+    with pytest.raises(TypeError):
+        a.plus_monoid(42)
+    # kwargs route through to the underlying op
+    mask = Matrix.from_lists(spark, [0], [0], [True], 1, 1, typ="BOOL")
+    assert a.plus_times(a, mask=mask).to_dict() == {(0, 0): 1.0}
+
+
+def test_fmax_semiring_agg_direct_nan(spark):
+    # MAX_* direct-aggregate shortcuts must keep fmax NaN semantics
+    import math
+
+    nan = float("nan")
+    a = Matrix.from_lists(spark, [0, 0], [0, 1], [1.0, nan], 1, 2)
+    b = Matrix.from_lists(spark, [0, 1], [0, 0], [5.0, 7.0], 2, 1)
+    assert a.mxm(b, semiring="MAX_TIMES").to_dict() == {(0, 0): 5.0}
+    assert a.mxm(b, semiring="MAX_SECOND").to_dict() == {(0, 0): 7.0}
+    allnan = Matrix.from_lists(spark, [0], [0], [nan], 1, 1)
+    onev = Matrix.from_lists(spark, [0], [0], [1.0], 1, 1)
+    assert math.isnan(allnan.mxm(onev, semiring="MAX_FIRST").to_dict()[(0, 0)])
+
+
+def test_simhash_pigeonhole_wide_hamming(spark):
+    # banding must re-chunk for the requested budget: two signatures
+    # differing in exactly 4 spread-out bits (Hamming 4 > the classic
+    # 3-budget) must still pair under max_hamming=6
+    from pygraphblas_spark.pipeline import dedup as dd
+
+    base = "alpha beta gamma delta epsilon zeta " * 6
+    near = base.replace("beta", "betaX", 2)
+    df = spark.createDataFrame(
+        [(1, base), (2, near)], "doc_id long, text string"
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in
+            dd.simhash_signatures(df, hash_mode="sha256").collect()}
+    h = bin(sigs[1] ^ sigs[2]).count("1")
+    pairs = dd.simhash_near_pairs(df, max_hamming=6, hash_mode="sha256").collect()
+    if h <= 6:
+        assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, h)]
+    else:
+        assert pairs == []
