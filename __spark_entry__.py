@@ -477,6 +477,41 @@ def _qty_matrix(spark: SparkSession, sf_dir: str, flag: str):
     return Matrix.from_edge_df(df, mx, mx, "INT64")
 
 
+_EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _ntz_epoch_us(c):
+    """Epoch microseconds from a TIMESTAMP_NTZ column, computed purely
+    from its naive datetime fields (date / hour / minute / fractional
+    second) — no session-timezone conversion anywhere, so the value is
+    identical under any driver ``spark.sql.session.timeZone``. Matches
+    DuckDB's ``epoch_us(ts)`` on the same naive timestamp."""
+    return (
+        F.unix_date(c.cast("date")) * F.lit(86_400_000_000)
+        + F.hour(c).cast("long") * F.lit(3_600_000_000)
+        + F.minute(c).cast("long") * F.lit(60_000_000)
+        + (F.date_part(F.lit("SECOND"), c) * 1_000_000).cast("long")
+    )
+
+
+def _events_utc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet with a timezone-independent event-time column.
+
+    The parquet ``ts`` is NTZ-annotated (isAdjustedToUTC=false), so a
+    plain read is ambient-config-dependent (LTZ vs NTZ per
+    ``spark.sql.parquet.inferTimestampNTZ.enabled``, then any
+    timestamp→epoch conversion goes through the session timezone).
+    Forcing an NTZ read schema + field-arithmetic epoch micros +
+    ``timestamp_micros`` (epoch→LTZ, a pure reinterpretation) yields an
+    event-time column whose window math is bit-identical under any
+    driver session config."""
+    ev = spark.read.schema(_EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn("ts_utc", F.timestamp_micros(_ntz_epoch_us(F.col("ts"))))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the order→part bipartite graph at sf0.001."""
     from pygraphblas_spark.algorithms import pagerank
@@ -930,19 +965,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def events_window(spark, sf):
         # tumbling event-time windows via the streaming code path
         # (streaming/core.py windowed_event_counts — watermark is a no-op
-        # on batch input, same plan as the live stream). Values summed as
-        # integer cents (floor(v*100+0.5), bit-deterministic) and the
-        # window key emitted as epoch seconds — both tz-independent, so
-        # the DuckDB twin is exact
+        # on batch input, same plan as the live stream). Event time comes
+        # from _events_utc (epoch micros derived arithmetically from the
+        # NTZ fields, then timestamp_micros — no session-tz conversion
+        # anywhere), values summed as integer cents
+        # (floor(v*100+0.5), bit-deterministic), and the window key
+        # emitted as epoch seconds via unix_timestamp on the LTZ window
+        # bound (internal-micros read, tz-independent). Exact under any
+        # driver session timezone / parquet NTZ-inference config.
         from pygraphblas_spark.streaming.core import windowed_event_counts
 
-        ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        ev = _events_utc(spark, sf).withColumn(
             "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
         )
         w = windowed_event_counts(
             ev,
             window="1 hour",
             watermark="2 hours",
+            ts_col="ts_utc",
             by=("event_type",),
             value_col="cents",
         )
@@ -957,21 +997,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sessionization: F.session_window (the stateful streaming-capable
         # session op) with a 30-minute gap; a new session starts when the
         # inter-event gap is >= the window (windows are [t, t+gap) and
-        # merge only on overlap). The oracle replicates with lag + cumsum
-        # in integer microseconds — tz-independent and exact
-        ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        # merge only on overlap). Session-window math runs on the
+        # _events_utc LTZ column (pure epoch arithmetic) and the key is
+        # unix_micros on the LTZ window start — no NTZ→LTZ cast, so no
+        # session-timezone dependence. The oracle replicates with
+        # lag + cumsum in integer microseconds — exact.
+        ev = _events_utc(spark, sf).withColumn(
             "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
         )
         s = ev.groupBy(
-            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            F.session_window("ts_utc", "30 minutes").alias("w"), "user_id"
         ).agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
         return s.select(
             "user_id",
-            # ts is TIMESTAMP_NTZ; the session tz is pinned UTC
-            # (session.py) so the cast is epoch-identity
-            F.unix_micros(F.col("w.start").cast("timestamp")).alias(
-                "session_start_us"
-            ),
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
             "n",
             F.col("cents").cast("long").alias("cents"),
         )
