@@ -22,8 +22,56 @@ explode) — JVM-side, no Python UDFs.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger("pygraphblas_spark.pipeline")
+
+
+def cap_oversized_buckets(
+    bucketed: DataFrame,
+    keys: list[str],
+    max_bucket_size: int | None,
+    what: str = "bucket",
+) -> DataFrame:
+    """Drop bucket keys holding more than ``max_bucket_size`` rows before
+    a candidate self-join.
+
+    LSH-style candidate generation self-joins on bucket keys, so one
+    degenerate bucket (boilerplate/empty docs sharing a band signature or
+    simhash chunk) makes the join quadratic in that bucket's size — the
+    one shape that kills a 100 TB run. Capping trades recall for a hard
+    bound: pairs whose only shared bucket was oversized are missed
+    (near-dup banding usually still finds them via another band/chunk).
+
+    ``max_bucket_size=None`` disables the cap (exact oracle mode). The
+    drop is never silent: oversized-bucket count and row volume are
+    computed (one small aggregation job over the per-key counts) and
+    logged at WARNING before the lazily-filtered frame is returned.
+    Callers joining the same bucketing twice should persist ``bucketed``
+    upstream to avoid recomputing the signature scan.
+    """
+    if max_bucket_size is None:
+        return bucketed
+    counts = bucketed.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bn"))
+    big = counts.filter(F.col("__bn") > max_bucket_size).persist()
+    stats = big.agg(
+        F.count(F.lit(1)).alias("buckets"),
+        F.coalesce(F.sum("__bn"), F.lit(0)).alias("rows"),
+    ).first()
+    if stats["buckets"]:
+        _LOG.warning(
+            "cap_oversized_buckets: dropping %d %s bucket(s) holding %d "
+            "rows (> max_bucket_size=%d) — candidate pairs whose only "
+            "shared bucket was dropped will be missed",
+            stats["buckets"],
+            what,
+            stats["rows"],
+            max_bucket_size,
+        )
+    return bucketed.join(big.select(*keys), list(keys), "left_anti")
 
 
 def _normalized(text: Column) -> Column:
@@ -173,6 +221,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     verify_threshold: float | None = 0.5,
     hash_mode: str = "xxhash",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -181,10 +230,18 @@ def minhash_lsh_candidates(
     shingle Jaccard (computed only for candidates) and filtered.
     ``hash_mode='sha256'`` makes signatures AND band buckets
     cross-engine reproducible (DuckDB-oracle-checkable).
+    ``max_bucket_size`` bounds the band-bucket self-join against
+    degenerate buckets (see ``cap_oversized_buckets``) — set it on
+    boilerplate-heavy corpora; None is exact.
     """
     banded = minhash_band_buckets(
         df, id_col, text_col, num_perm, bands, shingle_n, hash_mode
     )
+    if max_bucket_size is not None:
+        banded = banded.persist()
+        banded = cap_oversized_buckets(
+            banded, ["band", "bucket"], max_bucket_size, "minhash band"
+        )
     a = banded.select(
         F.col("band"), F.col("bucket"), F.col("doc_id").alias("id_a")
     )
@@ -290,6 +347,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     hash_mode: str = "xxhash",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding with a pigeonhole guarantee:
     signatures are split into ``max_hamming + 1`` chunks, so any pair
@@ -297,7 +355,12 @@ def simhash_near_pairs(
     bucket join finds ALL of them (max_hamming=3 reproduces the classic
     4×16-bit split). ``hash_mode='sha256'`` makes the whole pipeline
     cross-engine reproducible (DuckDB-oracle-checkable); its signatures
-    carry 60 effective bits, so chunk widths size to 60 there."""
+    carry 60 effective bits, so chunk widths size to 60 there.
+    ``max_bucket_size`` bounds the chunk-bucket self-join against
+    degenerate buckets — e.g. millions of low-entropy docs sharing a
+    constant chunk (see ``cap_oversized_buckets``); capped mode weakens
+    the pigeonhole guarantee to pairs that agree on ≥1 SURVIVING chunk;
+    None is exact."""
     sigs = simhash_signatures(df, id_col, text_col, hash_mode=hash_mode)
     bits = 60 if hash_mode == "sha256" else 64
     n_chunks = max_hamming + 1
@@ -320,6 +383,11 @@ def simhash_near_pairs(
             )
         ).alias("cc"),
     ).select("doc_id", "simhash", "cc.chunk", "cc.key")
+    if max_bucket_size is not None:
+        chunks = chunks.persist()
+        chunks = cap_oversized_buckets(
+            chunks, ["chunk", "key"], max_bucket_size, "simhash chunk"
+        )
     a = chunks.select("chunk", "key", F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"))
     b = chunks.select("chunk", "key", F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"))
     return (

@@ -320,6 +320,7 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     hash_mode: str = "xxhash",
     dim: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ≥1 of
     ``tables`` hash tables; exact cosine re-rank on candidates only.
@@ -329,7 +330,11 @@ def lsh_bucketed_topk(
     carry only (tbl, bucket, id) — vectors are consumed computing the
     bucket key and re-joined for the exact re-rank.
     ``hash_mode='sha256'`` (requires ``dim``) makes the buckets
-    engine-portable (see ``lsh_bucket_key``) for cross-engine checks."""
+    engine-portable (see ``lsh_bucket_key``) for cross-engine checks.
+    ``max_bucket_size`` drops degenerate base-side buckets (e.g. the
+    all-zero-ish region collapsing one hyperplane bucket) before the
+    candidate join — bounded work, recall tradeoff; None is exact."""
+    from pygraphblas_spark.pipeline.dedup import cap_oversized_buckets
     def bucketed(df, idname):
         v = F.col(vec_col)
         return df.select(
@@ -351,6 +356,11 @@ def lsh_bucketed_topk(
 
     qb = bucketed(queries, "query_id")
     bb = bucketed(base, "neighbor_id")
+    if max_bucket_size is not None:
+        bb = bb.persist()
+        bb = cap_oversized_buckets(
+            bb, ["tbl", "bucket"], max_bucket_size, "ann lsh"
+        )
     cand = (
         qb.join(bb, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

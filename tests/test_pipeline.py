@@ -148,6 +148,95 @@ def test_simhash_near_pairs(spark):
     assert sigs[0] == sigs[1] == sigs[2]
 
 
+def test_bucket_cap_bounds_adversarial_corpus(spark):
+    """An adversarial low-entropy corpus — every doc IS boilerplate, so
+    every LSH band/chunk bucket is one giant degenerate bucket — must
+    produce bounded candidate counts when max_bucket_size is set (the
+    100 TB quadratic-bucket guard), while the controlled corpus stays
+    exactly correct with a generous cap."""
+    n = 200
+    rows = [(i, "common boilerplate header shared by every document") for i in range(n)]
+    boiler = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # uncapped: all docs collide in every bucket -> ~n^2/2 verified pairs
+    capped = minhash_lsh_candidates(
+        boiler, num_perm=32, bands=8, verify_threshold=None, max_bucket_size=50
+    )
+    assert capped.count() == 0  # every bucket oversized -> all dropped
+
+    sim_capped = simhash_near_pairs(boiler, max_hamming=3, max_bucket_size=50)
+    assert sim_capped.count() == 0
+
+    # a generous cap on the normal corpus changes nothing (exactness)
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            dup_docs(spark), num_perm=32, bands=8, verify_threshold=0.4
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            dup_docs(spark),
+            num_perm=32,
+            bands=8,
+            verify_threshold=0.4,
+            max_bucket_size=100,
+        ).collect()
+    }
+    assert got == want
+
+    sim_want = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(dup_docs(spark), max_hamming=6).collect()
+    }
+    sim_got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(
+            dup_docs(spark), max_hamming=6, max_bucket_size=100
+        ).collect()
+    }
+    assert sim_got == sim_want
+
+    # mixed corpus: boilerplate flood + one genuine near-dup pair that
+    # differs from the flood — the pair survives a cap that kills the flood
+    mixed_rows = rows + [
+        (1000, "a genuinely unique document about sparse matrix semirings kernels"),
+        (1001, "a genuinely unique document about sparse matrix semiring kernels"),
+    ]
+    mixed = spark.createDataFrame(mixed_rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            mixed, num_perm=32, bands=8, verify_threshold=0.4, max_bucket_size=50
+        ).collect()
+    }
+    assert (1000, 1001) in pairs
+    assert all(a >= 1000 for a, _ in pairs)  # flood contributed nothing
+
+
+def test_lsh_topk_bucket_cap(spark, emb):
+    """ANN LSH with a degenerate base: cap drops oversized buckets but
+    sparse buckets still produce ranked neighbors; generous cap == exact."""
+    q = emb.limit(4)
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in lsh_bucketed_topk(emb, q, k=3, planes=6, tables=4).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in lsh_bucketed_topk(
+            emb, q, k=3, planes=6, tables=4, max_bucket_size=10**6
+        ).collect()
+    }
+    assert got == want
+    # a cap of 0 drops every bucket -> no candidates at all
+    empty = lsh_bucketed_topk(
+        emb, q, k=3, planes=6, tables=4, max_bucket_size=0
+    )
+    assert empty.count() == 0
+
+
 def test_ngram_jaccard_exact(spark):
     got = ngram_jaccard_pairs(dup_docs(spark), threshold=0.99)
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got.collect()}
