@@ -666,6 +666,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return label_propagation(_edges(spark, sf), max_iters=10)
 
+    def louvain_blockmodel(spark, sf):
+        # Louvain modularity clustering (reference demo/Louvain.ipynb
+        # cells 5-6) on a deterministic planted-partition graph: 200
+        # vertices, 4 blocks of 50, ~40% intra-block density vs ~1
+        # inter-block edge per vertex (arithmetic edge rules, engine-
+        # portable). Louvain provably recovers the planted blocks here
+        # (golden-tested in tests/test_louvain.py against the
+        # reference's own GraphChallenge fixtures), and community ids
+        # are canonicalized to the min member id — so the DuckDB twin
+        # states the planted truth (id, block_start) and the hash
+        # compare checks the full per-vertex assignment.
+        from pygraphblas_spark.algorithms import louvain
+
+        n = 200
+        v = spark.range(n)
+        pairs = (
+            v.alias("a")
+            .crossJoin(v.alias("b"))
+            .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
+            .filter("i < j")
+        )
+        e = (
+            pairs.filter(
+                "(i DIV 50) = (j DIV 50) AND (i*7 + j*11) % 5 < 2"
+            )
+            .unionByName(
+                pairs.filter(
+                    "(i DIV 50) != (j DIV 50) AND (i*13 + j*3) % 199 = 0"
+                )
+            )
+            .select(F.col("i").alias("src"), F.col("j").alias("dst"))
+        )
+        return louvain(e, n=n).select("id", "community")
+
     def bfs_levels_q(spark, sf):
         # BFS levels over the symmetrized order↔part graph from the
         # minimum vertex id — oracle-checked against a DuckDB recursive
@@ -1191,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": pagerank_q,
         "connected_components": connected_components_q,
         "label_propagation": label_propagation_q,
+        "louvain_blockmodel": louvain_blockmodel,
         "bfs_levels": bfs_levels_q,
         "sssp_unit": sssp_q,
         "betweenness_4src": betweenness_q,
@@ -1533,6 +1568,14 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_oracle(iters=5, damping=0.85),
         "connected_components": _cc_oracle(),
         "label_propagation": _lpa_oracle(iters=10),
+        "louvain_blockmodel": (
+            # the planted ground truth of the deterministic block-model
+            # graph the Spark query builds: Louvain recovers the blocks
+            # exactly (fixture-validated) and canonicalizes community
+            # ids to the min member id = the block start
+            "SELECT range AS id, (range // 50) * 50 AS community "
+            "FROM range(200)"
+        ),
         "minhash_near_dups": _minhash_oracle(num_perm=32, bands=8, threshold=0.5),
         "simhash_sigs": _simhash_oracle(),
         "embedding_near_dups": _embedding_near_dup_oracle(

@@ -13,8 +13,11 @@ from pygraphblas_spark.algorithms.bfs import bfs_levels, bfs_tree
 from pygraphblas_spark.algorithms.sssp import sssp
 from pygraphblas_spark.algorithms.ktruss import k_truss
 from pygraphblas_spark.algorithms.betweenness import betweenness_centrality
+from pygraphblas_spark.algorithms.louvain import louvain, modularity
 
 __all__ = [
+    "louvain",
+    "modularity",
     "pagerank",
     "connected_components",
     "label_propagation",
