@@ -666,6 +666,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return label_propagation(_edges(spark, sf), max_iters=10)
 
+    def assign_upsert(spark, sf):
+        # Matrix.assign_matrix with mask + accum + row offset (reference
+        # matrix.py:3056 assign / __setitem__ family): upsert the 'R'
+        # qty matrix, shifted one row down, into the 'A' matrix — only
+        # where the structural mask (shifted-B cells with val > 40, in
+        # TARGET coordinates) permits, PLUS-accumulating on collisions
+        # with A and inserting cells A lacks (both merge paths are
+        # exercised). The DuckDB twin is the equivalent semi-join +
+        # full-outer-join merge.
+        from pygraphblas_spark.matrix import Matrix
+
+        a = _qty_matrix(spark, sf, "A")
+        b = _qty_matrix(spark, sf, "R")
+        b_shift = Matrix(
+            b.df.select((F.col("src") + 1).alias("src"), "dst", "val"),
+            a.nrows,
+            a.ncols,
+            b.typ,
+        )
+        msk = b_shift.select(">", 40)
+        r = a.assign_matrix(b, rows=slice(1, None), accum="PLUS", mask=msk)
+        return r.df.select(
+            "src", "dst", F.col("val").cast("long").alias("qty")
+        )
+
     def louvain_blockmodel(spark, sf):
         # Louvain modularity clustering (reference demo/Louvain.ipynb
         # cells 5-6) on a deterministic planted-partition graph: 200
@@ -1226,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": connected_components_q,
         "label_propagation": label_propagation_q,
         "louvain_blockmodel": louvain_blockmodel,
+        "assign_upsert": assign_upsert,
         "bfs_levels": bfs_levels_q,
         "sssp_unit": sssp_q,
         "betweenness_4src": betweenness_q,
@@ -1568,6 +1594,17 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_oracle(iters=5, damping=0.85),
         "connected_components": _cc_oracle(),
         "label_propagation": _lpa_oracle(iters=10),
+        "assign_upsert": (
+            f"WITH a AS (SELECT * FROM {_MA}), "
+            f"bs AS (SELECT src + 1 AS src, dst, val FROM {_MR}), "
+            "m AS (SELECT src, dst FROM bs WHERE val > 40), "
+            "bm AS (SELECT bs.src, bs.dst, bs.val FROM bs "
+            "JOIN m ON bs.src = m.src AND bs.dst = m.dst) "
+            "SELECT COALESCE(a.src, bm.src) AS src, "
+            "COALESCE(a.dst, bm.dst) AS dst, "
+            "CAST(COALESCE(a.val, 0) + COALESCE(bm.val, 0) AS BIGINT) AS qty "
+            "FROM a FULL OUTER JOIN bm ON a.src = bm.src AND a.dst = bm.dst"
+        ),
         "louvain_blockmodel": (
             # the planted ground truth of the deterministic block-model
             # graph the Spark query builds: Louvain recovers the blocks
