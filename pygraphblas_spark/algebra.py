@@ -363,13 +363,16 @@ binary_op(
 binary_op("ATAN2", F.atan2)
 binary_op("HYPOT", F.hypot)
 binary_op("FMOD", lambda a, b: a % b)
-binary_op("REMAINDER", lambda a, b: a - F.round(a / b) * b)
+# C remainder() rounds a/b half-to-even (rint), not half-away (round):
+# double-cast bround in HALF_EVEN mode matches at every exact-.5 multiple
+binary_op(
+    "REMAINDER",
+    lambda a, b: a - F.bround((a / b).cast("double"), 0) * b,
+)
 binary_op("COPYSIGN", lambda a, b: F.abs(a) * F.when(b < 0, F.lit(-1.0)).otherwise(F.lit(1.0)))
 binary_op("LDEXP", lambda a, b: a * F.pow(F.lit(2.0), b))
-binary_op("FIRSTI", lambda a, b, asrc, adst, bsrc, bdst: asrc, positional=True)
-binary_op("FIRSTJ", lambda a, b, asrc, adst, bsrc, bdst: adst, positional=True)
-binary_op("SECONDI", lambda a, b, asrc, adst, bsrc, bdst: bsrc, positional=True)
-binary_op("SECONDJ", lambda a, b, asrc, adst, bsrc, bdst: bdst, positional=True)
+# (FIRSTI/FIRSTJ/SECONDI/SECONDJ + their *1 variants are registered once,
+# with the rest of the positional family, above)
 
 
 # --------------------------------------------------------------------------

@@ -123,17 +123,43 @@ def _fs_exists(path: str) -> bool:
     return os.path.exists(path)
 
 
+# URI schemes whose Hadoop FileSystem rename() is atomic — these get the
+# tmp-file + rename protocol so a crash mid-write preserves the previous
+# manifest. Object stores (s3a/gs/...) keep the direct single PUT: their
+# PUT is atomic and rename() is a non-atomic copy+delete there.
+_ATOMIC_RENAME_SCHEMES = ("hdfs://", "file://", "viewfs://", "webhdfs://")
+
+
 def _fs_write_text(path: str, text: str) -> None:
-    """Atomic-enough manifest write: local FS uses tmp + rename; object
-    stores get a single create(overwrite=True) — a PUT is atomic there
-    and Hadoop rename() is copy+delete on most of them anyway."""
+    """Atomic manifest write per filesystem class: local and
+    rename-atomic Hadoop schemes use tmp + rename; object stores get a
+    single create(overwrite=True) PUT."""
     if _is_uri(path):
-        fs, p, _ = _hadoop_fs(path)
-        out = fs.create(p, True)
-        try:
-            out.write(bytearray(text.encode("utf-8")))
-        finally:
-            out.close()
+        fs, p, jvm = _hadoop_fs(path)
+        if path.startswith(_ATOMIC_RENAME_SCHEMES):
+            # tmp-write + .bak rotation: every crash window leaves either
+            # the old manifest (at .json or .json.bak) or the complete
+            # new one readable — _read_manifest_with_fallback covers the
+            # .bak case. FileSystem.rename never clobbers on HDFS, hence
+            # the rotation instead of a delete-then-rename gap.
+            tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+            bak = jvm.org.apache.hadoop.fs.Path(path + ".bak")
+            out = fs.create(tmp, True)
+            try:
+                out.write(bytearray(text.encode("utf-8")))
+            finally:
+                out.close()
+            if fs.exists(p):
+                fs.delete(bak, False)
+                fs.rename(p, bak)
+            if not fs.rename(tmp, p):
+                raise IOError(f"manifest rename failed: {tmp} -> {p}")
+        else:
+            out = fs.create(p, True)
+            try:
+                out.write(bytearray(text.encode("utf-8")))
+            finally:
+                out.close()
     else:
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -276,9 +302,23 @@ class CheckpointManager:
         """Load the latest durable iteration: returns (iteration,
         {state_name: DataFrame}, manifest) or None if no manifest."""
         path = os.path.join(root, "manifest.json")
-        if not _fs_exists(path):
-            return None
-        manifest = json.loads(_fs_read_text(path))
+        manifest = None
+        if _fs_exists(path):
+            try:
+                manifest = json.loads(_fs_read_text(path))
+            except ValueError:
+                manifest = None  # truncated mid-write — try the rotation
+        if manifest is None:
+            # crash windows leave the previous manifest at .bak (see
+            # _fs_write_text's rename rotation); a resume should pick up
+            # the last durable record rather than fail forever
+            bak = path + ".bak"
+            if not _fs_exists(bak):
+                return None
+            try:
+                manifest = json.loads(_fs_read_text(bak))
+            except ValueError:
+                return None
         durable = [r for r in manifest["records"] if r.get("durable")]
         if not durable:
             return None

@@ -194,6 +194,35 @@ def test_pagerank_resume_from_checkpoint(spark, tmp_path):
     assert a == pytest.approx(b)
 
 
+def test_resume_survives_truncated_manifest(spark, tmp_path):
+    """A crash mid-manifest-write must not brick every later resume:
+    resume() falls back to manifest.json.bak when manifest.json is
+    truncated/unparseable, and returns None (not a parse crash) when
+    neither survives."""
+    import shutil
+
+    from pygraphblas_spark.plans.checkpoint import CheckpointManager
+
+    root = str(tmp_path / "ckpt")
+    ckpt = CheckpointManager(root=root, interval=1, algorithm="pagerank")
+    e = edges_df(spark, PR_I, PR_J)
+    pagerank(e, n=PR_N, max_iters=3, checkpoint=ckpt)
+    manifest = tmp_path / "ckpt" / "manifest.json"
+    good = manifest.read_text()
+
+    # simulate the crash window: rotation done, new write truncated
+    shutil.copy(manifest, str(manifest) + ".bak")
+    manifest.write_text(good[: len(good) // 2])
+    resumed = CheckpointManager.resume(spark, root)
+    assert resumed is not None
+    it, states, mf = resumed
+    assert it == 3 and "rank" in states
+
+    # both corrupt -> clean None, never a JSONDecodeError
+    (tmp_path / "ckpt" / "manifest.json.bak").write_text("{not json")
+    assert CheckpointManager.resume(spark, root) is None
+
+
 def test_checkpoint_uri_root_via_hadoop_fs(spark, tmp_path):
     """URI-schemed checkpoint roots (object stores) go through the Hadoop
     FileSystem API for manifest I/O — exercised locally via file://."""

@@ -480,6 +480,26 @@ def test_matrix_all_get_contains_scipy(spark):
     assert m.iseq(back)
 
 
+def test_remainder_rounds_half_to_even(spark):
+    """REMAINDER must match C remainder() (rint = half-to-even), not
+    round-half-away: at exact .5 multiples the two differ by |b|."""
+    import math
+
+    from pygraphblas_spark.algebra import _BINARY
+    from pyspark.sql import functions as F
+
+    cases = [(2.5, 1.0), (3.5, 1.0), (-2.5, 1.0), (7.0, 2.0), (5.0, 3.0)]
+    df = spark.createDataFrame(cases, "a double, b double")
+    got = [
+        r["r"]
+        for r in df.select(
+            _BINARY["REMAINDER"].fn(F.col("a"), F.col("b")).alias("r")
+        ).collect()
+    ]
+    want = [math.remainder(a, b) for a, b in cases]
+    assert got == want
+
+
 def test_bitwise_and_frexp_ops(spark):
     import math
 
