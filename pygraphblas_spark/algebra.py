@@ -541,6 +541,25 @@ semiring(
 semiring("ANY_PAIR", "ANY", "PAIR", lambda a, b: F.first(F.lit(1)))
 semiring("ANY_SECOND", "ANY", "SECOND", lambda a, b: F.first(b))
 
+# Log semiring (reference demo/Log-Semiring.ipynb: Log32 with
+# PLUS = x + log1p(exp(y - x)), TIMES = x + y over log-space values —
+# i.e. ⊕ = logaddexp, ⊗ = +, so matrix products multiply probabilities
+# without underflow). The pairwise combine is the numerically-stable
+# two-argument form. The aggregate is the direct log(Σ exp(x)) — Spark
+# aggregates can't nest a max-shift inside the sum; fine for the
+# probability-log range the reference demo works in (logs ≤ 0 ⇒ exp ≤ 1,
+# no overflow; underflow only below ~-700).
+def _logaddexp(a: Column, b: Column) -> Column:
+    return F.greatest(a, b) + F.log1p(F.exp(-F.abs(a - b)))
+
+
+def _logsumexp_agg(c: Column) -> Column:
+    return F.log(F.sum(F.exp(c)))
+
+
+monoid("LOGADD", _logsumexp_agg, float("-inf"), binary_op("LOGADD", _logaddexp))
+semiring("LOGADD_PLUS", "LOGADD", "PLUS", lambda a, b: _logsumexp_agg(a + b))
+
 
 # --------------------------------------------------------------------------
 # Select ops  (reference: pygraphblas/selectop.py:57-74)

@@ -14,8 +14,14 @@ from pygraphblas_spark.algorithms.sssp import sssp
 from pygraphblas_spark.algorithms.ktruss import k_truss
 from pygraphblas_spark.algorithms.betweenness import betweenness_centrality
 from pygraphblas_spark.algorithms.louvain import louvain, modularity
+from pygraphblas_spark.algorithms.tricentrality import (
+    triangle_centrality,
+    degree_centrality,
+)
 
 __all__ = [
+    "triangle_centrality",
+    "degree_centrality",
     "louvain",
     "modularity",
     "pagerank",
