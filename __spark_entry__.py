@@ -483,6 +483,17 @@ _EVENTS_SCHEMA = (
 )
 
 
+def _r6(c):
+    """Bit-deterministic 6-decimal rounding (pipeline/text.py:_round6):
+    floor(x·1e6 + 0.5)/1e6 — pure IEEE ops, same bits in any engine when
+    the oracle SQL spells the identical formula."""
+    return F.floor(c * 1000000.0 + F.lit(0.5)).cast("double") / 1000000.0
+
+
+def _r9(c):
+    return F.floor(c * 1e9 + F.lit(0.5)).cast("double") / 1e9
+
+
 def _ntz_epoch_us(c):
     """Epoch microseconds from a TIMESTAMP_NTZ column, computed purely
     from its naive datetime fields (date / hour / minute / fractional
@@ -1233,7 +1244,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", F.col("dist").cast("double").alias("dist")
         )
 
+    def triangle_centrality_q(spark, sf):
+        # Burkhardt TC1 (reference demo/TriangleCentrality.ipynb cell 4)
+        # on the thresholded part co-occurrence graph — same graph as
+        # triangle_count. Integer numerators / integer k ⇒ one IEEE
+        # division on both engines ⇒ bit-identical before rounding.
+        from pygraphblas_spark.algorithms import triangle_centrality
+
+        e = _edges(spark, sf)
+        m = Matrix.from_edge_df(e, 1 << 40, 1 << 40, "INT64")
+        co = (
+            m.mxm(m, semiring="PLUS_PAIR", desc=descriptor.T0)
+            .select(">=", 2)
+            .offdiag()
+        )
+        r = triangle_centrality(co.df.select("src", "dst"))
+        return r.select("id", _r6(F.col("centrality")).alias("tc"))
+
+    def degree_centrality_q(spark, sf):
+        # reference demo/Centrality.ipynb cell 3: (A @ 1) / nvals under
+        # PLUS_PAIR — degree over stored-edge count
+        from pygraphblas_spark.algorithms import degree_centrality
+
+        e = _edges(spark, sf)
+        return degree_centrality(e).select(
+            "id", _r9(F.col("centrality")).alias("centrality")
+        )
+
+    def log_semiring_mxm(spark, sf):
+        # reference demo/Log-Semiring.ipynb: ⊕=logaddexp ⊗=+ over log
+        # probabilities — AᵀA gives log total 2-step probability mass
+        # between parts. p(order,part) = 1/(1+Σqty), edges carry ln p.
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        lw = li.groupBy(
+            F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
+        ).agg(
+            (-F.log(1.0 + F.sum(F.col("l_quantity").cast("double")))).alias(
+                "val"
+            )
+        )
+        a = Matrix.from_edge_df(lw, 1 << 40, 1 << 40, "FP64")
+        r = a.mxm(a, semiring="LOGADD_PLUS", desc=descriptor.T0)
+        return r.df.select(
+            F.col("src").alias("p1"),
+            F.col("dst").alias("p2"),
+            _r6(F.col("val")).alias("logmass"),
+        )
+
+    def dedup_groups(spark, sf):
+        # pipeline ∘ graph engine: MinHash near-dup pairs → connected
+        # components → canonical (min-doc-id) dedup-group representative
+        # for every doc that has at least one near-duplicate
+        from pygraphblas_spark.pipeline.dedup import minhash_lsh_candidates
+        from pygraphblas_spark.algorithms import connected_components
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 300
+        )
+        pairs = minhash_lsh_candidates(
+            docs, verify_threshold=0.5, hash_mode="sha256"
+        ).persist()
+        members = (
+            pairs.select(F.col("id_a").alias("id"))
+            .unionByName(pairs.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        e = pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        cc = connected_components(e)
+        out = members.join(cc, "id").select(
+            "id", F.col("component").alias("group_id")
+        )
+        out = out.localCheckpoint()
+        pairs.unpersist()
+        return out
+
+    def tfidf_top_terms_q(spark, sf):
+        # top-3 TF-IDF terms per document (smoothed idf, deterministic
+        # term-asc tie-break) — pipeline/text.py
+        from pygraphblas_spark.pipeline.text import tfidf_top_terms
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 300
+        )
+        return tfidf_top_terms(docs, k=3)
+
     return {
+        "triangle_centrality": triangle_centrality_q,
+        "degree_centrality": degree_centrality_q,
+        "log_semiring_mxm": log_semiring_mxm,
+        "dedup_groups": dedup_groups,
+        "tfidf_top_terms": tfidf_top_terms_q,
         "out_degree": out_degree,
         "in_degree": in_degree,
         "part_cooccurrence": part_cooccurrence,
@@ -1288,8 +1390,117 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _tricentrality_oracle() -> str:
+    """TC1 twin over the same thresholded co-occurrence graph as the
+    triangle_count oracle: oriented triangle enumeration → per-edge
+    triangle counts → y/k/neighbor sums → the 3·Σny − 2·Σty + y formula.
+    All sums are integer-valued doubles (exact), so the single division
+    by k is bit-identical across engines; rounding is the floor(x·1e6+.5)
+    trick shared with the Spark side (_r6)."""
+    return (
+        "WITH co AS MATERIALIZED ( "
+        f"  SELECT a.dst AS u, b.dst AS v FROM {_E} a JOIN {_E} b ON a.src = b.src "
+        "  WHERE a.dst <> b.dst GROUP BY a.dst, b.dst HAVING COUNT(*) >= 2 "
+        "), deg AS ( "
+        "  SELECT u, COUNT(*) AS d FROM co GROUP BY u "
+        "), oriented AS MATERIALIZED ( "
+        "  SELECT co.u AS s, co.v AS t FROM co "
+        "  JOIN deg du ON co.u = du.u JOIN deg dv ON co.v = dv.u "
+        "  WHERE (du.d < dv.d) OR (du.d = dv.d AND co.u < co.v) "
+        "), tri AS MATERIALIZED ( "
+        "  SELECT e1.s AS a, e1.t AS b, e2.t AS c "
+        "  FROM oriented e1 JOIN oriented e2 ON e1.s = e2.s AND e1.t < e2.t "
+        "  JOIN oriented e3 ON (e3.s = e1.t AND e3.t = e2.t) "
+        "                   OR (e3.s = e2.t AND e3.t = e1.t) "
+        "), edge_t AS MATERIALIZED ( "
+        "  SELECT u, v, CAST(COUNT(*) AS DOUBLE) AS t FROM ( "
+        "    SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri "
+        "    UNION ALL SELECT least(a, c), greatest(a, c) FROM tri "
+        "    UNION ALL SELECT least(b, c), greatest(b, c) FROM tri "
+        "  ) GROUP BY u, v "
+        "), ets AS MATERIALIZED ( "
+        "  SELECT u, v, t FROM edge_t UNION ALL SELECT v AS u, u AS v, t FROM edge_t "
+        "), y AS MATERIALIZED (SELECT u AS id, SUM(t) AS y FROM ets GROUP BY u), "
+        "kk AS (SELECT SUM(y) AS k FROM y), "
+        "verts AS (SELECT DISTINCT u AS id FROM co), "
+        "ny AS (SELECT co.u AS id, SUM(y.y) AS ny FROM co JOIN y ON co.v = y.id GROUP BY co.u), "
+        "ty AS (SELECT ets.u AS id, SUM(y.y) AS ty FROM ets JOIN y ON ets.v = y.id GROUP BY ets.u) "
+        "SELECT verts.id, "
+        "FLOOR((3 * COALESCE(ny.ny, 0) - 2 * COALESCE(ty.ty, 0) + COALESCE(y.y, 0)) "
+        "      / kk.k * 1000000.0 + 0.5) / 1000000.0 AS tc "
+        "FROM verts CROSS JOIN kk "
+        "LEFT JOIN y ON verts.id = y.id "
+        "LEFT JOIN ny ON verts.id = ny.id "
+        "LEFT JOIN ty ON verts.id = ty.id"
+    )
+
+
+def _dedup_groups_oracle() -> str:
+    """MinHash pairs (the full LSH twin) → transitive closure by a
+    recursive CTE → min-member-id group label per pair member."""
+    return (
+        "WITH RECURSIVE pairs AS MATERIALIZED ( "
+        f"  {_minhash_oracle(num_perm=32, bands=8, threshold=0.5)} "
+        "), sym AS MATERIALIZED ( "
+        "  SELECT id_a AS u, id_b AS v FROM pairs "
+        "  UNION SELECT id_b, id_a FROM pairs "
+        "  UNION SELECT id_a, id_a FROM pairs "
+        "  UNION SELECT id_b, id_b FROM pairs "
+        "), reach(u, v) AS ( "
+        "  SELECT u, v FROM sym "
+        "  UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u "
+        ") "
+        "SELECT u AS id, MIN(v) AS group_id FROM reach GROUP BY u"
+    )
+
+
+def _tfidf_oracle() -> str:
+    """tfidf_top_terms twin: same normalization (_NORM), smoothed idf
+    ln((N+1)/(df+1))+1, rank by (score DESC, term ASC), k=3."""
+    return (
+        "WITH toks AS MATERIALIZED ( "
+        f"  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term "
+        "  FROM documents WHERE doc_id < 300 "
+        "), tf AS MATERIALIZED ( "
+        "  SELECT doc_id, term, COUNT(*) AS tf FROM toks "
+        "  WHERE term <> '' GROUP BY doc_id, term "
+        "), dfreq AS MATERIALIZED (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+        "n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf), "
+        "scored AS ( "
+        "  SELECT tf.doc_id, tf.term, "
+        "  CAST(tf.tf AS DOUBLE) * (LN((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS score "
+        "  FROM tf JOIN dfreq USING (term) CROSS JOIN n "
+        "), ranked AS ( "
+        "  SELECT doc_id, term, score, "
+        "  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk "
+        "  FROM scored "
+        ") "
+        "SELECT doc_id, term, FLOOR(score * 1000000.0 + 0.5) / 1000000.0 AS tfidf "
+        "FROM ranked WHERE rnk <= 3"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "triangle_centrality": _tricentrality_oracle(),
+        "degree_centrality": (
+            f"SELECT src AS id, "
+            f"FLOOR(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM {_E}) "
+            f"      * 1000000000.0 + 0.5) / 1000000000.0 AS centrality "
+            f"FROM {_E} GROUP BY src"
+        ),
+        "log_semiring_mxm": (
+            "WITH lw AS MATERIALIZED ( "
+            "  SELECT l_orderkey AS src, l_partkey AS dst, "
+            "  -LN(1.0 + SUM(CAST(l_quantity AS DOUBLE))) AS lv "
+            "  FROM lineitem GROUP BY l_orderkey, l_partkey "
+            ") "
+            "SELECT a.dst AS p1, b.dst AS p2, "
+            "FLOOR(LN(SUM(EXP(a.lv + b.lv))) * 1000000.0 + 0.5) / 1000000.0 AS logmass "
+            "FROM lw a JOIN lw b ON a.src = b.src GROUP BY a.dst, b.dst"
+        ),
+        "dedup_groups": _dedup_groups_oracle(),
+        "tfidf_top_terms": _tfidf_oracle(),
         "out_degree": f"SELECT src AS id, COUNT(*) AS degree FROM {_E} GROUP BY src",
         "in_degree": f"SELECT dst AS id, COUNT(*) AS degree FROM {_E} GROUP BY dst",
         "part_cooccurrence": (

@@ -100,6 +100,49 @@ def add_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("ws_tokens", ws).withColumn("bpe_tokens", bpe)
 
 
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document → ``(doc_id, term, tfidf)``.
+
+    Tokenization is the corpus-wide normalization every dedup stage uses
+    (lower + trim + whitespace collapse, split on single spaces);
+    ``idf = ln((N+1)/(df+1)) + 1`` (smoothed), ``tfidf = tf · idf``,
+    rounded via the bit-deterministic ``_round6``. Ties rank by term
+    ascending — fully deterministic output.
+
+    Scale shape: one explode + two hash aggregations (term-frequency per
+    doc, document-frequency per term) + a window partitioned BY DOC
+    (per-doc cardinality is bounded by the doc's vocabulary, so no
+    single-partition window anywhere); the doc-frequency side of the
+    join is a term-level aggregate — broadcastable while the vocabulary
+    is small, shuffle-joined on ``term`` otherwise. No Python in the
+    path."""
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(norm, " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = toks.select(id_col).distinct().count()
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        (
+            F.col("tf").cast("double")
+            * (F.log((n + 1.0) / (F.col("df") + 1.0)) + 1.0)
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", _round6(F.col("score")).alias("tfidf"))
+    )
+
+
 def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append ``fingerprint``: 64-bit hash of whitespace-normalized,
     lowercased text (xxhash64 — one JVM call), plus ``norm_sha``:
