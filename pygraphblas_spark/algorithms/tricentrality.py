@@ -68,11 +68,135 @@ def _oriented_by_degree(sym: DataFrame) -> DataFrame:
     ).select("src", "dst", F.struct(F.col("dv"), F.col("dst")).alias("rank"))
 
 
-def triangle_centrality(edges: DataFrame) -> DataFrame:
+def _tricentrality_incore(spark, e: DataFrame) -> DataFrame:
+    """In-core tier: one Arrow pull, then the whole TC1 computation in
+    vectorized numpy — same degree-ordered wedge enumeration as
+    kernels/tri_csr.py, extended to keep per-vertex triangle counts and
+    the triangle-support edge pattern. All sums are integer-valued
+    doubles (exact), so results are bit-identical to the DataFrame plan."""
+    import numpy as np
+
+    tbl = e.toArrow()
+    s = tbl.column("src").to_numpy(zero_copy_only=False).astype("int64")
+    d = tbl.column("dst").to_numpy(zero_copy_only=False).astype("int64")
+    keep = s != d
+    s, d = s[keep], d[keep]
+    ids, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+    n = len(ids)
+    empty_schema = "id long, centrality double"
+    if n == 0:
+        return spark.createDataFrame([], empty_schema)
+    s2, d2 = inv[: len(s)], inv[len(s):]
+
+    # symmetrize + dedup via packed keys (n < 2^31 guaranteed by caller)
+    keys = np.unique(np.concatenate([s2 * n + d2, d2 * n + s2]))
+    ss, dd = keys // n, keys % n
+    deg = np.bincount(ss, minlength=n)
+
+    # (deg, id)-rank relabel; orient rank-upward
+    order = np.lexsort((np.arange(n), deg))
+    rank = np.empty(n, dtype="int64")
+    rank[order] = np.arange(n)
+    rs, rd = rank[ss], rank[dd]
+    fwd = rs < rd
+    ek = rs[fwd] * n + rd[fwd]
+    ek.sort()
+    osrc, odst = ek // n, ek % n
+    ptr = np.zeros(n + 1, "int64")
+    np.cumsum(np.bincount(osrc, minlength=n), out=ptr[1:])
+
+    # chunked wedge enumeration + closure probe (triangular decode as in
+    # tri_csr._closures_for_segments)
+    cnt = np.diff(ptr)
+    wper = cnt * (cnt - 1) // 2
+    seg_end = np.cumsum(wper)
+    seg_begin = seg_end - wper
+    W = int(seg_end[-1]) if n else 0
+    tri_v = np.zeros(n, "int64")
+    et_parts = []
+    CH = 8_000_000
+    for pos in range(0, W, CH):
+        hi = min(pos + CH, W)
+        s0 = int(np.searchsorted(seg_end, pos, side="right"))
+        s1 = int(np.searchsorted(seg_begin, hi, side="left"))
+        segs = np.arange(s0, s1)
+        c = np.minimum(seg_end[segs], hi) - np.maximum(seg_begin[segs], pos)
+        seg_of = np.repeat(segs, c)
+        woff = np.arange(pos, hi, dtype="int64") - seg_begin[seg_of]
+        j = ((1.0 + np.sqrt(1.0 + 8.0 * woff.astype("float64"))) / 2.0).astype(
+            "int64"
+        )
+        # float inverse can land one off on exact triangulars — correct it
+        j -= j * (j - 1) // 2 > woff
+        i = woff - j * (j - 1) // 2
+        a = odst[ptr[seg_of] + i]
+        b = odst[ptr[seg_of] + j]
+        key = a * n + b
+        idx = np.searchsorted(ek, key)
+        idx[idx >= len(ek)] = len(ek) - 1
+        closed = ek[idx] == key
+        if not closed.any():
+            continue
+        u, a, b = osrc[ptr[seg_of[closed]]], a[closed], b[closed]
+        tri_v += np.bincount(u, minlength=n)
+        tri_v += np.bincount(a, minlength=n)
+        tri_v += np.bincount(b, minlength=n)
+        et_parts.append(np.unique(np.concatenate([u * n + a, u * n + b, key[closed]])))
+
+    y = 2.0 * tri_v
+    k = float(y.sum())
+    if k == 0.0:
+        cent = np.zeros(n)
+    else:
+        ny = np.bincount(rank[ss], weights=y[rank[dd]], minlength=n)
+        if et_parts:
+            et = np.unique(np.concatenate(et_parts))
+            et_s, et_d = et // n, et % n
+            ty = np.bincount(et_s, weights=y[et_d], minlength=n) + np.bincount(
+                et_d, weights=y[et_s], minlength=n
+            )
+        else:
+            ty = np.zeros(n)
+        cent = (3.0 * ny - 2.0 * ty + y) / k
+
+    import pandas as pd
+
+    out = pd.DataFrame({"id": ids, "centrality": cent[rank]})
+    return spark.createDataFrame(out, empty_schema)
+
+
+#: in-core tier bound — reuse the dense-kernel sizing rationale
+def _incore_ok(spark, nnz: int, n: int) -> bool:
+    from pygraphblas_spark.kernels.csr_dense import INCORE_MAX_NNZ
+
+    return (
+        spark.sparkContext.master.startswith("local")
+        and 2 * nnz <= INCORE_MAX_NNZ
+        and n < (1 << 31)
+    )
+
+
+def triangle_centrality(edges: DataFrame, strategy: str = "auto") -> DataFrame:
     """Per-vertex triangle centrality of the undirected graph of
     ``edges`` → DataFrame ``(id: long, centrality: double)`` over every
     vertex that appears in an edge. Returns all-zero centralities if the
-    graph has no triangles (k = 0 guard)."""
+    graph has no triangles (k = 0 guard).
+
+    ``strategy``: 'auto' | 'incore' | 'join'. Auto runs the vectorized
+    numpy tier when the symmetrized graph fits in-core in local mode
+    (same tiering as ``triangle_count``); the DataFrame join plan is the
+    cluster-scale path."""
+    if strategy in ("auto", "incore"):
+        spark = edges.sparkSession
+        e = edges.select("src", "dst")
+        if strategy == "incore":
+            return _tricentrality_incore(spark, e)
+        mx = e.agg(F.max("src"), F.max("dst"), F.count(F.lit(1))).first()
+        if mx[0] is not None:
+            n = int(max(mx[0], mx[1])) + 1
+            if _incore_ok(spark, int(mx[2]), n):
+                return _tricentrality_incore(spark, e)
+
     sym = _symmetrized_distinct(edges).persist()
 
     o = _oriented_by_degree(sym)

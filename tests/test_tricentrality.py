@@ -59,13 +59,21 @@ def _edge_df(spark):
 
 def test_triangle_centrality_matches_oracle(spark):
     want = _tc1_oracle()
-    got = {
-        r["id"]: r["centrality"]
-        for r in triangle_centrality(_edge_df(spark)).collect()
-    }
-    assert set(got) == set(want)
-    for v in want:
-        assert math.isclose(got[v], want[v], rel_tol=1e-12), (v, got[v], want[v])
+    for strategy in ("incore", "join"):
+        got = {
+            r["id"]: r["centrality"]
+            for r in triangle_centrality(
+                _edge_df(spark), strategy=strategy
+            ).collect()
+        }
+        assert set(got) == set(want), strategy
+        for v in want:
+            assert math.isclose(got[v], want[v], rel_tol=1e-12), (
+                strategy,
+                v,
+                got[v],
+                want[v],
+            )
 
 
 def test_tc1_facade_chain_matches_oracle(spark):
