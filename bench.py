@@ -149,8 +149,10 @@ def run(sf_dir: str, cpus: str, rounds: int = 1) -> dict:
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    # best-of-2 per query: single-shot wall-clock swings ±25% on a shared
-    # box (page cache / GC); the floor is the reproducible number
-    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
+    # best-of-3 per query: single-shot wall-clock on this shared box has
+    # been observed to swing up to 8x on bursty host contention (same
+    # code, same counts, consecutive runs); the floor is the reproducible
+    # number and three shots make the floor robust to a one-round burst
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
     result = run(sf_dir, cpus, rounds=rounds)
     print(json.dumps(result))

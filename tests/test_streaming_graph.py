@@ -1,0 +1,113 @@
+"""Streaming incremental connected components (streaming/graph.py):
+the incremental-equals-recompute theorem, the LSM state lifecycle, and
+the end-to-end availableNow stream."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from pygraphblas_spark.streaming.graph import (
+    components_batch,
+    compact_state,
+    incremental_components_maintenance,
+    read_state,
+)
+from pygraphblas_spark.algorithms import connected_components
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _full_cc(spark, pairs):
+    e = _edges_df(spark, pairs)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    cc = connected_components(e)
+    return {
+        r["id"]: r["component"] for r in verts.join(cc, "id").collect()
+    }
+
+
+# deterministic two-phase edge set: 5 blocks of 8 vertices (paths), then
+# a second wave that bridges blocks 0-1 and 2-3 and adds a new vertex 99
+_PHASE1 = [(b * 8 + i, b * 8 + i + 1) for b in range(5) for i in range(7)]
+_PHASE2 = [(7, 8), (23, 24), (39, 99)]
+
+
+def test_incremental_equals_recompute(spark):
+    s1 = components_batch(_edges_df(spark, _PHASE1), None)
+    s2 = components_batch(_edges_df(spark, _PHASE2), s1)
+    got = {r["id"]: r["component"] for r in s2.collect()}
+    want = _full_cc(spark, _PHASE1 + _PHASE2)
+    assert got == want
+    # the merges actually happened: blocks 0-1 and 2-3 share labels
+    assert got[0] == got[15] == 0
+    assert got[16] == got[31] == 16
+    assert got[32] == got[39] == got[99] == 32
+
+
+def test_untouched_components_pass_through_unchanged(spark):
+    s1 = components_batch(_edges_df(spark, _PHASE1), None).persist()
+    s2 = components_batch(_edges_df(spark, [(7, 8)]), s1)
+    got = {r["id"]: r["component"] for r in s2.collect()}
+    # block 4 (ids 32..39) untouched
+    for i in range(32, 40):
+        assert got[i] == 32
+    assert got[15] == 0
+    s1.unpersist()
+
+
+def test_streaming_end_to_end_with_compaction(spark, tmp_path):
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    state_root = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, pairs):
+        with open(stream_dir / name, "w") as f:
+            for s, d in pairs:
+                f.write(
+                    json.dumps(
+                        {"src": s, "dst": d, "ts": "2026-01-01T00:00:00"}
+                    )
+                    + "\n"
+                )
+
+    write_batch("b1.json", _PHASE1)
+    incremental_components_maintenance(
+        spark, str(stream_dir), state_root, ckpt
+    )
+    mid = {r["id"]: r["component"] for r in read_state(spark, state_root).collect()}
+    assert mid == _full_cc(spark, _PHASE1)
+
+    write_batch("b2.json", _PHASE2)
+    incremental_components_maintenance(
+        spark, str(stream_dir), state_root, ckpt
+    )
+    got = {r["id"]: r["component"] for r in read_state(spark, state_root).collect()}
+    want = _full_cc(spark, _PHASE1 + _PHASE2)
+    assert got == want
+
+    # compaction folds deltas into base and preserves the resolve
+    compact_state(spark, state_root)
+    assert os.path.exists(f"{state_root}/base")
+    assert not os.path.exists(f"{state_root}/delta")
+    after = {r["id"]: r["component"] for r in read_state(spark, state_root).collect()}
+    assert after == want
+
+
+def test_retried_batch_append_is_idempotent(spark, tmp_path):
+    """A crash-retried micro-batch re-appends identical delta rows; the
+    resolve must still return one row per id."""
+    state_root = str(tmp_path / "state")
+    s1 = components_batch(_edges_df(spark, _PHASE1), None)
+    delta = s1.select("id", "component", F.lit(0).cast("long").alias("seq"))
+    delta.write.mode("append").parquet(f"{state_root}/delta")
+    delta.write.mode("append").parquet(f"{state_root}/delta")  # the retry
+    got = read_state(spark, state_root)
+    assert got.count() == got.select("id").distinct().count()
