@@ -1330,7 +1330,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return tfidf_top_terms(docs, k=3)
 
+    def stream_cc(spark, sf):
+        # streaming incremental connected components, two micro-batches
+        # of a deterministic synthetic graph (arithmetic edge rules,
+        # engine-portable): 25 path-blocks of 16 vertices, then bridge
+        # edges merging block b into b+1 wherever b % 3 == 0. The
+        # incremental result provably equals a full recompute — the
+        # DuckDB twin IS that full recompute (recursive-CTE min label),
+        # so the oracle checks the incremental theorem itself.
+        from pygraphblas_spark.streaming.graph import components_batch
+
+        v = spark.range(400)
+        p1 = v.filter("id % 16 < 15").select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        p2 = v.filter(
+            "id % 16 = 15 AND (id DIV 16) % 3 = 0 AND id < 384"
+        ).select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        s1 = components_batch(p1, None).localCheckpoint()
+        return components_batch(p2, s1)
+
     return {
+        "stream_cc": stream_cc,
         "triangle_centrality": triangle_centrality_q,
         "degree_centrality": degree_centrality_q,
         "log_semiring_mxm": log_semiring_mxm,
@@ -1482,6 +1503,23 @@ def _tfidf_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "stream_cc": (
+            "WITH RECURSIVE "
+            "v AS (SELECT unnest(generate_series(0, 399)) AS id), "
+            "e AS MATERIALIZED ( "
+            "  SELECT id AS src, id + 1 AS dst FROM v WHERE id % 16 < 15 "
+            "  UNION ALL "
+            "  SELECT id, id + 1 FROM v "
+            "  WHERE id % 16 = 15 AND (id // 16) % 3 = 0 AND id < 384 "
+            "), "
+            "sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+            "r(id, lab) AS ( "
+            "  SELECT src, src FROM sym "
+            "  UNION "
+            "  SELECT s.dst, r.lab FROM sym s JOIN r ON s.src = r.id WHERE r.lab < s.dst "
+            ") "
+            "SELECT id, MIN(lab) AS component FROM r GROUP BY id"
+        ),
         "triangle_centrality": _tricentrality_oracle(),
         "degree_centrality": (
             f"SELECT src AS id, "
