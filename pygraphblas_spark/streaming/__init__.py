@@ -12,6 +12,12 @@ from pygraphblas_spark.streaming.dedup import (
     incremental_dedup_maintenance,
     stream_documents_from_files,
 )
+from pygraphblas_spark.streaming.graph import (
+    components_batch,
+    compact_state,
+    incremental_components_maintenance,
+    read_state,
+)
 from pygraphblas_spark.streaming.core import (
     stream_edges_from_files,
     streaming_out_degree,
@@ -22,6 +28,10 @@ from pygraphblas_spark.streaming.core import (
 )
 
 __all__ = [
+    "components_batch",
+    "compact_state",
+    "incremental_components_maintenance",
+    "read_state",
     "stream_edges_from_files",
     "streaming_out_degree",
     "stateful_degree_tracker",

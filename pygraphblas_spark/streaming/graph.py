@@ -36,20 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-EDGE_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("src", T.LongType()),
-        T.StructField("dst", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
-    ]
-)
-
-
-def stream_edges_from_files(spark: SparkSession, path: str) -> DataFrame:
-    """Streaming edge source: directory of JSON lines, fixed schema."""
-    return spark.readStream.schema(EDGE_STREAM_SCHEMA).json(path)
+from pygraphblas_spark.streaming.core import stream_edges_from_files
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
