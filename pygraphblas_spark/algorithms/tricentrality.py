@@ -242,7 +242,7 @@ def triangle_centrality(edges: DataFrame, strategy: str = "auto") -> DataFrame:
 
     verts = sym.select(F.col("src").alias("id")).distinct()
     if not k:
-        out = verts.select("id", F.lit(0.0).alias("centrality"))
+        out = verts.select("id", F.lit(0.0).alias("centrality")).localCheckpoint()
         sym.unpersist()
         o.unpersist()
         et_sym.unpersist()
@@ -278,6 +278,10 @@ def triangle_centrality(edges: DataFrame, strategy: str = "auto") -> DataFrame:
             ).alias("centrality"),
         )
     )
+    # materialize (vertex-count-sized) before dropping the cached
+    # intermediates — otherwise the caller's action recomputes the whole
+    # wedge-join lineage from scratch
+    out = out.localCheckpoint()
     sym.unpersist()
     o.unpersist()
     et_sym.unpersist()

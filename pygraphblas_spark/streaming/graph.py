@@ -75,7 +75,10 @@ def components_batch(
         .select("component")
         .distinct()
     )
-    touched = state.join(affected, "component", "left_semi").persist()
+    # localCheckpoint: ``touched`` feeds two branches (star edges and the
+    # vertex set) — materialize the affected-set-sized table once instead
+    # of re-running the semi-join, without leaking a persist past return
+    touched = state.join(affected, "component", "left_semi").localCheckpoint()
     stars = touched.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("src"), F.col("component").alias("dst")
     )
@@ -85,9 +88,7 @@ def components_batch(
     )
     updated = _local_cc(sub_edges, sub_verts)
     untouched = state.join(affected, "component", "left_anti")
-    out = untouched.unionByName(updated)
-    touched.unpersist()
-    return out
+    return untouched.unionByName(updated)
 
 
 def _local_cc(edges: DataFrame, verts: DataFrame) -> DataFrame:
