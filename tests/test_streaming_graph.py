@@ -111,3 +111,50 @@ def test_retried_batch_append_is_idempotent(spark, tmp_path):
     delta.write.mode("append").parquet(f"{state_root}/delta")  # the retry
     got = read_state(spark, state_root)
     assert got.count() == got.select("id").distinct().count()
+
+
+# ---- property: incremental == full recompute on random two-phase graphs
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _uf_cc(pairs):
+    """Union-find oracle: min-member component label per vertex."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in pairs:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    return {v: find(v) for v in parent}
+
+
+_edge = st.tuples(
+    st.integers(min_value=0, max_value=23), st.integers(min_value=0, max_value=23)
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+@given(
+    p1=st.lists(_edge, min_size=1, max_size=16),
+    p2=st.lists(_edge, min_size=1, max_size=10),
+)
+def test_incremental_cc_property(spark, p1, p2):
+    s1 = components_batch(_edges_df(spark, p1), None)
+    s2 = components_batch(_edges_df(spark, p2), s1)
+    got = {r["id"]: r["component"] for r in s2.collect()}
+    assert got == _uf_cc(p1 + p2)
