@@ -1485,12 +1485,13 @@ def _tfidf_oracle() -> str:
         "), tf AS MATERIALIZED ( "
         "  SELECT doc_id, term, COUNT(*) AS tf FROM toks "
         "  WHERE term <> '' GROUP BY doc_id, term "
-        "), dfreq AS MATERIALIZED (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
-        "n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf), "
+        "), n AS (SELECT COUNT(DISTINCT doc_id) AS n "
+        "         FROM documents WHERE doc_id < 300), "
         "scored AS ( "
         "  SELECT tf.doc_id, tf.term, "
-        "  CAST(tf.tf AS DOUBLE) * (LN((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS score "
-        "  FROM tf JOIN dfreq USING (term) CROSS JOIN n "
+        "  CAST(tf.tf AS DOUBLE) * "
+        "  (LN((n.n + 1.0) / (COUNT(*) OVER (PARTITION BY tf.term) + 1.0)) + 1.0) AS score "
+        "  FROM tf CROSS JOIN n "
         "), ranked AS ( "
         "  SELECT doc_id, term, score, "
         "  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk "

@@ -111,13 +111,13 @@ def tfidf_top_terms(
     rounded via the bit-deterministic ``_round6``. Ties rank by term
     ascending — fully deterministic output.
 
-    Scale shape: one explode + two hash aggregations (term-frequency per
-    doc, document-frequency per term) + a window partitioned BY DOC
-    (per-doc cardinality is bounded by the doc's vocabulary, so no
-    single-partition window anywhere); the doc-frequency side of the
-    join is a term-level aggregate — broadcastable while the vocabulary
-    is small, shuffle-joined on ``term`` otherwise. No Python in the
-    path."""
+    Scale shape: ONE text scan — explode + per-(doc,term) hash aggregate,
+    then document-frequency as a count window over ``term`` (tf already
+    has one row per containing doc; one shuffle, no corpus re-scan and
+    no aggregate join), then the per-doc top-k window (per-doc
+    cardinality is bounded by the doc's vocabulary, so no
+    single-partition window anywhere). ``N`` reads only the id column
+    (column-pruned scan — no text parsing). No Python in the path."""
     from pyspark.sql import Window
 
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
@@ -125,14 +125,14 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(F.split(norm, " ")).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = toks.select(id_col).distinct().count()
-    scored = tf.join(dfreq, "term").select(
+    n = df.select(id_col).distinct().count()
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    scored = tf.select(
         F.col(id_col),
         "term",
         (
             F.col("tf").cast("double")
-            * (F.log((n + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            * (F.log((n + 1.0) / (dfreq + 1.0)) + 1.0)
         ).alias("score"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
