@@ -529,3 +529,31 @@ def test_ivf_kmeans_refinement(spark):
         return float(np.mean(1.0 - (m @ c.T).max(axis=1)))
 
     assert qerr(c2) <= qerr(c0) + 1e-12
+
+
+def test_tfidf_top_terms(spark):
+    from pygraphblas_spark.pipeline.text import tfidf_top_terms
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple cherry"),
+            (1, "banana cherry cherry date"),
+            (2, "apple apple apple"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append((r["term"], r["tfidf"]))
+    # every doc returns at most k rows, ordered deterministically
+    assert all(len(v) <= 2 for v in got.values())
+    n = 3
+    idf = lambda df_: math.log((n + 1) / (df_ + 1)) + 1
+    # doc 2: only one distinct term
+    assert [t for t, _ in got[2]] == ["apple"]
+    assert math.isclose(got[2][0][1], round(3 * idf(2), 6), rel_tol=1e-9)
+    # doc 0: apple tf=2 (df=2), banana tf=1 (df=2), cherry tf=1 (df=2);
+    # top-2 = apple then banana (tie banana/cherry broken by term asc)
+    assert [t for t, _ in got[0]] == ["apple", "banana"]
