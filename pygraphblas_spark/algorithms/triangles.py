@@ -72,6 +72,10 @@ def triangle_count(edges: DataFrame, strategy: str = "auto") -> int:
                     tbl.column("src").to_numpy(zero_copy_only=False),
                     tbl.column("dst").to_numpy(zero_copy_only=False),
                     n,
+                    # size the numpy pool by the SESSION's parallelism,
+                    # not the machine's — a local[2] session must do
+                    # 2-way work (scaling probes measure this honestly)
+                    threads=min(16, spark.sparkContext.defaultParallelism),
                 )
             if strategy == "blocked" or (
                 strategy == "auto" and 2 * nnz <= tri_csr.BLOCKED_MAX_ORIENTED
