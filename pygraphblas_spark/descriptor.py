@@ -75,3 +75,4 @@ RSC = Descriptor(replace=True, mask_structural=True, mask_complement=True)
 CT0 = Descriptor(mask_complement=True, transpose0=True)
 RCT0 = Descriptor(replace=True, mask_complement=True, transpose0=True)
 ST0 = Descriptor(mask_structural=True, transpose0=True)
+ST1 = Descriptor(mask_structural=True, transpose1=True)

@@ -116,3 +116,42 @@ def test_triangle_centrality_no_triangles(spark):
     rows = triangle_centrality(df).collect()
     assert {r["id"] for r in rows} == {0, 1, 2, 3}
     assert all(r["centrality"] == 0.0 for r in rows)
+
+
+def test_tc2_tc3_facade_variants_match_oracle(spark):
+    """The notebook's TC2 and TC3 reformulations (plus_pair dispatch,
+    ST1 descriptor, dense-accum reduce, tril-masked half-count) produce
+    the same centrality as TC1."""
+    from pygraphblas_spark import descriptor
+
+    want = _tc1_oracle()
+    sym = sorted(_sym())
+    I = [u for u, _ in sym]
+    J = [v for _, v in sym]
+    A = Matrix.from_lists(spark, I, J, [1.0] * len(sym), 8, 8)
+
+    # TC2 (demo/TriangleCentrality.ipynb cell 6)
+    T = A.plus_pair(A, mask=A, desc=descriptor.ST1)
+    y = Vector.dense(spark, "FP64", 8)
+    y = T.reduce_vector(out=y, accum="PLUS")
+    k = y.reduce_float()
+    tc2 = (1.0 / k) * (3 * A.plus_second(y) - 2 * T.plus_second(y) + y)
+    got2 = dict(zip(*tc2.to_lists()))
+    for v in want:
+        assert math.isclose(got2[v], want[v], rel_tol=1e-12), ("TC2", v)
+
+    # TC3 (cell 8): tril-masked half-count, forward + transposed sums
+    M = A.tril(-1)
+    T = A.plus_pair(A, mask=M, desc=descriptor.ST1)
+    T_T = T.T
+    y = T.reduce_vector(out=Vector.dense(spark, "FP64", 8), accum="PLUS")
+    y = T_T.reduce_vector(out=y, accum="PLUS")
+    k = y.reduce_float()
+    tc3 = (
+        3 * A.plus_second(y)
+        - (2 * (T.plus_second(y) + T_T.plus_second(y)))
+        + y
+    ) / k
+    got3 = dict(zip(*tc3.to_lists()))
+    for v in want:
+        assert math.isclose(got3[v], want[v], rel_tol=1e-12), ("TC3", v)
