@@ -60,7 +60,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pygraphblas_spark.algorithms.pagerank import BROADCAST_MAX_ROWS
-from pygraphblas_spark.plans.checkpoint import iteration_conf, release_state
+from pygraphblas_spark.plans.checkpoint import (
+    CheckpointManager,
+    iteration_conf,
+    release_state,
+)
 
 GAIN_EPS = 1e-12
 
@@ -73,6 +77,9 @@ def louvain(
     max_levels: int = 10,
     strategy: str = "auto",
     num_partitions: Optional[int] = None,
+    checkpoint: Optional[CheckpointManager] = None,
+    init: Optional[DataFrame] = None,
+    start_level: int = 0,
 ) -> DataFrame:
     """Louvain communities over an edge DataFrame (src, dst[, weight]).
 
@@ -83,6 +90,14 @@ def louvain(
 
     ``strategy``: 'incore' (driver-side numpy level loop, local mode,
     nnz <= INCORE_MAX_NNZ) | 'join' (fully distributed) | 'auto'.
+
+    ``checkpoint`` records one manifest entry per LEVEL (durable cadence
+    writes the cumulative (id, community) mapping — the complete resume
+    state, since contracting the original edges by it reproduces the
+    level graph exactly). ``init`` + ``start_level`` warm-start from a
+    prior mapping (e.g. ``CheckpointManager.resume``'s ``assign`` state
+    or a previous ``louvain`` result; community ids must be member
+    vertex ids, which both provide), continuing the level numbering.
     """
     spark = edges.sparkSession
     w = (
@@ -101,10 +116,14 @@ def louvain(
         if spark.sparkContext.master.startswith("local") and (
             strategy == "incore" or e.count() <= INCORE_MAX_NNZ
         ):
-            return _louvain_incore(spark, e, n, max_iters, max_levels)
+            return _louvain_incore(
+                spark, e, n, max_iters, max_levels,
+                checkpoint=checkpoint, init=init, start_level=start_level,
+            )
     with iteration_conf(spark):
         return _louvain_join(
-            spark, e, n, max_iters, max_levels, num_partitions
+            spark, e, n, max_iters, max_levels, num_partitions,
+            checkpoint=checkpoint, init=init, start_level=start_level,
         )
 
 
@@ -160,7 +179,22 @@ def modularity(
 # ---------------------------------------------------------------------
 
 
-def _louvain_incore(spark, e, n, max_iters, max_levels):
+def _contract_incore(ls, ld, lw, labels, n):
+    """Aggregate weights over (labels[src], labels[dst]) — intra-community
+    weight becomes the super-vertex self-loop."""
+    cs = labels[ls]
+    cd = labels[ld]
+    key = cs * n + cd
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    ws = lw[order]
+    bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+    ukey = ks[bounds]
+    return ukey // n, ukey % n, np.add.reduceat(ws, bounds)
+
+
+def _louvain_incore(spark, e, n, max_iters, max_levels,
+                    checkpoint=None, init=None, start_level=0):
     import pandas as pd
 
     tbl = e.select("src", "dst", "w").toArrow()
@@ -177,25 +211,45 @@ def _louvain_incore(spark, e, n, max_iters, max_levels):
     ld = np.r_[dst, src]
     lw = np.r_[wv, wv]
     assign = np.arange(n, dtype=np.int64)
+    if init is not None:
+        t = init.select("id", "community").toArrow()
+        assign[t.column("id").to_numpy(zero_copy_only=False)] = (
+            t.column("community").to_numpy(zero_copy_only=False)
+        )
+        # pre-contract the original graph by the warm-start mapping —
+        # reproduces the level graph the prior run ended on exactly
+        ls, ld, lw = _contract_incore(ls, ld, lw, assign, n)
 
-    for _level in range(max_levels):
+    for _level in range(start_level, start_level + max_levels):
         labels, any_moved = _level_incore(ls, ld, lw, n, max_iters)
         if not any_moved:
+            if checkpoint is not None:
+                checkpoint.record(_level, {"moved": 0, "converged": True})
             break
         assign = labels[assign]
-        # contract: aggregate weights over (label[src], label[dst]);
-        # intra-community weight becomes the super-vertex self-loop
-        cs = labels[ls]
-        cd = labels[ld]
-        key = cs * n + cd
-        order = np.argsort(key, kind="stable")
-        ks = key[order]
-        ws = lw[order]
-        bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
-        ukey = ks[bounds]
-        lw = np.add.reduceat(ws, bounds)
-        ls = ukey // n
-        ld = ukey % n
+        # canonicalize to min-ORIGINAL-member ids every level (not just at
+        # the end): level-graph vertex ids are then well-defined canonical
+        # communities, so a warm start (init=prior result) reproduces the
+        # exact same level graph and tie-breaks as the straight run
+        canon = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(canon, assign, np.arange(n, dtype=np.int64))
+        assign = canon[assign]
+        ls, ld, lw = _contract_incore(ls, ld, lw, canon[labels], n)
+        if checkpoint is not None:
+            metrics = {
+                "moved": 1,
+                "communities": int(len(np.unique(assign))),
+            }
+            if checkpoint.durable:
+                adf = spark.createDataFrame(
+                    pd.DataFrame(
+                        {"id": np.arange(n, dtype=np.int64),
+                         "community": assign}
+                    )
+                )
+                checkpoint.save(_level, {"assign": adf}, metrics)
+            else:
+                checkpoint.record(_level, metrics)
 
     # canonical community ids: minimum original member id
     canon = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
@@ -272,7 +326,8 @@ def _level_incore(ls, ld, lw, n, max_iters):
 # ---------------------------------------------------------------------
 
 
-def _louvain_join(spark, e, n, max_iters, max_levels, num_partitions):
+def _louvain_join(spark, e, n, max_iters, max_levels, num_partitions,
+                  checkpoint=None, init=None, start_level=0):
     if n is None:
         mx = e.agg(F.max("src"), F.max("dst")).first()
         n = int(max(mx[0], mx[1])) + 1 if mx[0] is not None else 0
@@ -283,29 +338,65 @@ def _louvain_join(spark, e, n, max_iters, max_levels, num_partitions):
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
     g = g.groupBy("src", "dst").agg(F.sum("w").alias("w"))
-    assign = spark.range(n).select("id", F.col("id").alias("community"))
-    assign = assign.localCheckpoint(eager=True)
+    if init is not None:
+        assign = init.select("id", "community").localCheckpoint(eager=True)
+        # pre-contract the symmetrized graph by the warm-start mapping
+        lab_s = assign.select(F.col("id").alias("__i"), F.col("community").alias("__cs"))
+        lab_d = assign.select(F.col("id").alias("__i"), F.col("community").alias("__cd"))
+        g = (
+            g.join(lab_s, g["src"] == lab_s["__i"]).drop("__i")
+            .join(lab_d, F.col("dst") == lab_d["__i"])
+            .groupBy(F.col("__cs").alias("src"), F.col("__cd").alias("dst"))
+            .agg(F.sum("w").alias("w"))
+        )
+    else:
+        assign = spark.range(n).select("id", F.col("id").alias("community"))
+        assign = assign.localCheckpoint(eager=True)
+    g = g.localCheckpoint(eager=True)
 
-    for _level in range(max_levels):
+    for _level in range(start_level, start_level + max_levels):
         labels, any_moved = _level_join(
             spark, g, n, max_iters, num_partitions
         )
         if not any_moved:
+            if checkpoint is not None:
+                checkpoint.record(_level, {"moved": 0, "converged": True})
             release_state(labels)
             break
+        new_raw = assign.join(
+            labels.select(
+                F.col("id").alias("__cid"),
+                F.col("label").alias("__new"),
+            ),
+            assign["community"] == F.col("__cid"),
+        ).select("id", F.col("__new").alias("community"))
+        # canonicalize to min-member ids every level (see in-core note:
+        # makes warm starts bit-exact vs the straight run); materialize
+        # canon FIRST — everything below depends on it, and the old
+        # assign/labels it reads from are released at the end of the loop
+        canon = (
+            new_raw.groupBy("community")
+            .agg(F.min("id").alias("__canon"))
+            .localCheckpoint(eager=True)
+        )
         new_assign = (
-            assign.join(
-                labels.select(
-                    F.col("id").alias("__cid"),
-                    F.col("label").alias("__new"),
-                ),
-                assign["community"] == F.col("__cid"),
+            new_raw.join(canon, "community")
+            .select("id", F.col("__canon").alias("community"))
+            .localCheckpoint(eager=True)
+        )
+        labels_canon = (
+            labels.join(
+                canon.withColumnRenamed("community", "__lab"),
+                labels["label"] == F.col("__lab"),
             )
-            .select("id", F.col("__new").alias("community"))
+            .select("id", F.col("__canon").alias("label"))
             .localCheckpoint(eager=True)
         )
         release_state(assign)
+        release_state(labels)
+        release_state(canon)
         assign = new_assign
+        labels = labels_canon
         lab_s = labels.select(F.col("id").alias("__i"), F.col("label").alias("__cs"))
         lab_d = labels.select(F.col("id").alias("__i"), F.col("label").alias("__cd"))
         g2 = (
@@ -319,6 +410,8 @@ def _louvain_join(spark, e, n, max_iters, max_levels, num_partitions):
         )
         release_state(labels)
         g = g2
+        if checkpoint is not None:
+            checkpoint.save(_level, {"assign": assign}, {"moved": 1})
 
     # canonical ids: minimum original member id per community
     canon = assign.groupBy("community").agg(F.min("id").alias("__canon"))

@@ -95,3 +95,41 @@ def test_modularity_of_truth_beats_singletons(spark):
     singletons = labels.selectExpr("id", "id AS community")
     assert q > modularity(e, singletons)
     assert 0.0 < q <= 1.0
+
+
+def test_warm_start_matches_straight_run(spark):
+    """Split run (level 1, then resume with init=result) equals the
+    straight 2-level run exactly — per-level canonical labels make the
+    resumed contraction reproduce the same level graph and tie-breaks.
+    Checked on both tiers."""
+    e = _fixture_edges(spark, 100)
+    for strategy in ("incore", "join"):
+        straight = sorted(
+            (r["id"], r["community"])
+            for r in louvain(e, strategy=strategy, max_levels=2).collect()
+        )
+        first = louvain(e, strategy=strategy, max_levels=1)
+        resumed = sorted(
+            (r["id"], r["community"])
+            for r in louvain(
+                e, strategy=strategy, max_levels=1, init=first, start_level=1
+            ).collect()
+        )
+        assert resumed == straight, strategy
+
+
+def test_louvain_checkpoint_records_levels(spark, tmp_path):
+    from pygraphblas_spark.plans.checkpoint import CheckpointManager
+
+    e = _fixture_edges(spark, 50)
+    ck = CheckpointManager(
+        root=str(tmp_path / "louvain_ck"), interval=1, algorithm="louvain"
+    )
+    louvain(e, checkpoint=ck)
+    assert ck.records, "no manifest records"
+    durable = [r for r in ck.records if r.get("durable")]
+    assert durable, "no durable level state written"
+    # resume loads the assign mapping back
+    it, states, _ = CheckpointManager.resume(spark, str(tmp_path / "louvain_ck"))
+    assert "assign" in states
+    assert states["assign"].count() == 50
