@@ -259,7 +259,12 @@ def main():
         runs = [json.loads(l) for l in open(RUNS_LOG) if l.strip()]
 
         def latest_for(cores):
-            cands = [r for r in runs if r["cores"] == cores]
+            # latest FULL run (partial records — e.g. a single-algorithm
+            # re-probe appended to tighten one floor — only feed the merge)
+            cands = [
+                r for r in runs
+                if r["cores"] == cores and len(r["algos"]) >= 3
+            ]
             return _merge_runs(cands[-1]) if cands else None
 
         r_low, r_high = latest_for(args.low), latest_for(args.high)
