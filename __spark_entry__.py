@@ -523,6 +523,24 @@ def _events_utc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.withColumn("ts_utc", F.timestamp_micros(_ntz_epoch_us(F.col("ts"))))
 
 
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet with event time as a pure BIGINT epoch-micros
+    column (``us``) and value as integer cents — zero timestamp-typed
+    expressions downstream, so every derived key (tumbling-window
+    bucket, session id) is exact integer arithmetic that no engine
+    version, session timezone, or parquet-inference config can shift.
+    This is the belt-and-braces formulation the round-3 verdict
+    prescribed for the two event-time gate queries."""
+    ev = spark.read.schema(_EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        _ntz_epoch_us(F.col("ts")).alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the order→part bipartite graph at sf0.001."""
     from pygraphblas_spark.algorithms import pagerank
@@ -1033,56 +1051,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("query_id", "neighbor_id", "rank")
 
     def events_window(spark, sf):
-        # tumbling event-time windows via the streaming code path
-        # (streaming/core.py windowed_event_counts — watermark is a no-op
-        # on batch input, same plan as the live stream). Event time comes
-        # from _events_utc (epoch micros derived arithmetically from the
-        # NTZ fields, then timestamp_micros — no session-tz conversion
-        # anywhere), values summed as integer cents
-        # (floor(v*100+0.5), bit-deterministic), and the window key
-        # emitted as epoch seconds via unix_timestamp on the LTZ window
-        # bound (internal-micros read, tz-independent). Exact under any
-        # driver session timezone / parquet NTZ-inference config.
-        from pygraphblas_spark.streaming.core import windowed_event_counts
-
-        ev = _events_utc(spark, sf).withColumn(
-            "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        # tumbling event-time windows as PURE INTEGER arithmetic: epoch
+        # micros from the naive NTZ fields (_ntz_epoch_us), hour bucket
+        # via bigint modulo — not one timestamp-typed expression after
+        # the field extraction, so no engine/timezone/version can shift
+        # a value (round-3 verdict prescription; 2 rounds of driver-env
+        # hash mismatches traced to timestamp-typed evaluation on one
+        # side or the other). Values summed as integer cents
+        # (floor(v*100+0.5), bit-deterministic). The streaming-path
+        # equivalent (F.window over _events_utc) is pinned equal to this
+        # formulation in tests/test_tz_independence.py.
+        ev = _events_us(spark, sf)
+        ws = (F.col("us") - F.col("us") % F.lit(3_600_000_000)) / F.lit(
+            1_000_000
         )
-        w = windowed_event_counts(
-            ev,
-            window="1 hour",
-            watermark="2 hours",
-            ts_col="ts_utc",
-            by=("event_type",),
-            value_col="cents",
-        )
-        return w.select(
-            F.unix_timestamp("window_start").alias("ws"),
-            "event_type",
-            "n",
-            F.col("sum_value").cast("long").alias("cents"),
+        return (
+            ev.withColumn("ws", ws.cast("long"))
+            .groupBy("ws", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("cents"),
+            )
         )
 
     def user_sessions(spark, sf):
-        # sessionization: F.session_window (the stateful streaming-capable
-        # session op) with a 30-minute gap; a new session starts when the
-        # inter-event gap is >= the window (windows are [t, t+gap) and
-        # merge only on overlap). Session-window math runs on the
-        # _events_utc LTZ column (pure epoch arithmetic) and the key is
-        # unix_micros on the LTZ window start — no NTZ→LTZ cast, so no
-        # session-timezone dependence. The oracle replicates with
-        # lag + cumsum in integer microseconds — exact.
-        ev = _events_utc(spark, sf).withColumn(
-            "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        # sessionization with a 30-minute gap via lag + cumulative-sum
+        # over BIGINT epoch micros (new session when gap >= 30 min —
+        # identical semantics to F.session_window's [t, t+gap) overlap
+        # merge, pinned equal in tests/test_tz_independence.py). Pure
+        # integer arithmetic end-to-end: no timestamp-typed expression
+        # after field extraction, so exact under any driver session
+        # timezone / parquet NTZ-inference / engine version.
+        from pyspark.sql import Window as W
+
+        ev = _events_us(spark, sf)
+        o = W.partitionBy("user_id").orderBy("us", "event_id")
+        prev = F.lag("us").over(o)
+        new_s = F.when(
+            prev.isNull() | (F.col("us") - prev >= F.lit(1_800_000_000)),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        sid = F.sum(new_s).over(
+            o.rowsBetween(W.unboundedPreceding, W.currentRow)
         )
-        s = ev.groupBy(
-            F.session_window("ts_utc", "30 minutes").alias("w"), "user_id"
-        ).agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
-        return s.select(
-            "user_id",
-            F.unix_micros(F.col("w.start")).alias("session_start_us"),
-            "n",
-            F.col("cents").cast("long").alias("cents"),
+        return (
+            ev.withColumn("sid", sid)
+            .groupBy("user_id", "sid")
+            .agg(
+                F.min("us").alias("session_start_us"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("cents"),
+            )
+            .select("user_id", "session_start_us", "n", "cents")
         )
 
     def extract_row(spark, sf):
@@ -1769,22 +1789,41 @@ def oracle_sql() -> dict[str, str]:
             "FROM nation n CROSS JOIN region r"
         ),
         "lsh_topk": _lsh_topk_oracle(planes=4, tables=8, k=5),
+        # Both event-time oracles are PURE BIGINT field arithmetic — no
+        # epoch()/epoch_us() (tz/version-sensitive), no // (truncation
+        # semantics vary), no double→BIGINT CAST (DuckDB rounds, Spark
+        # truncates). date_part('microsecond') is the whole second +
+        # fractional micros as BIGINT, so us mirrors the Spark side's
+        # _ntz_epoch_us exactly, field by field.
         "events_window": (
-            "SELECT (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) * 3600 AS ws, "
-            "event_type, COUNT(*) AS n, "
-            "SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents "
-            "FROM events GROUP BY 1, 2"
+            "WITH t AS (SELECT "
+            "datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 86400000000 "
+            "+ date_part('hour', ts) * 3600000000 "
+            "+ date_part('minute', ts) * 60000000 "
+            "+ date_part('microsecond', ts) AS us, "
+            "event_type, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents "
+            "FROM events) "
+            "SELECT CAST((us - (us % 3600000000)) / 1000000 AS BIGINT) AS ws, "
+            "event_type, COUNT(*) AS n, SUM(cents) AS cents "
+            "FROM t GROUP BY 1, 2"
         ),
         "user_sessions": (
-            "WITH t AS (SELECT user_id, epoch_us(ts) AS us, "
-            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents, "
-            "CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER "
-            "(PARTITION BY user_id ORDER BY ts) >= 1800000000 "
-            "OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
-            "THEN 1 ELSE 0 END AS new_s "
+            "WITH t AS (SELECT user_id, event_id, "
+            "datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 86400000000 "
+            "+ date_part('hour', ts) * 3600000000 "
+            "+ date_part('minute', ts) * 60000000 "
+            "+ date_part('microsecond', ts) AS us, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents "
             "FROM events), "
+            "g AS (SELECT user_id, event_id, us, cents, "
+            "CASE WHEN LAG(us) OVER w IS NULL "
+            "OR us - LAG(us) OVER w >= 1800000000 "
+            "THEN 1 ELSE 0 END AS new_s "
+            "FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), "
             "s AS (SELECT user_id, us, cents, "
-            "SUM(new_s) OVER (PARTITION BY user_id ORDER BY us) AS sid FROM t) "
+            "SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g) "
             "SELECT user_id, MIN(us) AS session_start_us, "
             "COUNT(*) AS n, SUM(cents) AS cents "
             "FROM s GROUP BY user_id, sid"
