@@ -112,12 +112,17 @@ def tfidf_top_terms(
     ascending — fully deterministic output.
 
     Scale shape: ONE text scan — explode + per-(doc,term) hash aggregate,
-    then document-frequency as a count window over ``term`` (tf already
-    has one row per containing doc; one shuffle, no corpus re-scan and
-    no aggregate join), then the per-doc top-k window (per-doc
-    cardinality is bounded by the doc's vocabulary, so no
-    single-partition window anywhere). ``N`` reads only the id column
-    (column-pruned scan — no text parsing). No Python in the path."""
+    then document-frequency via ``groupBy(term).count()`` + hash join
+    back on ``term`` (tf already has one row per containing doc, so the
+    count IS the df). A count *window* over the bare term key would put
+    every (doc,term) row of a stop-word into ONE partition — a
+    single-task hot spot at corpus scale that AQE cannot split (skew
+    handling does not apply to window partitions); the aggregate+join
+    formulation has map-side partial counts and AQE skew-join coverage
+    at the same one-extra-shuffle cost (r3 verdict item #3). The only
+    remaining window is the per-doc top-k, bounded by the doc's own
+    vocabulary — no single-partition window anywhere. ``N`` reads only
+    the id column (column-pruned scan). No Python in the path."""
     from pyspark.sql import Window
 
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
@@ -126,13 +131,13 @@ def tfidf_top_terms(
     ).filter(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     n = df.select(id_col).distinct().count()
-    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
-    scored = tf.select(
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    scored = tf.join(dfreq, "term").select(
         F.col(id_col),
         "term",
         (
             F.col("tf").cast("double")
-            * (F.log((n + 1.0) / (dfreq + 1.0)) + 1.0)
+            * (F.log((n + 1.0) / (F.col("df_count") + 1.0)) + 1.0)
         ).alias("score"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))

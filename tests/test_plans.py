@@ -51,3 +51,20 @@ def test_minhash_candidates_no_cartesian(spark):
     plan = _plan(pairs)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_no_hot_term_window(spark):
+    """Document frequency must come from an aggregate + join, never a
+    count Window partitioned by the bare term key: a stop-word's every
+    (doc,term) row would land in ONE window partition — a single-task
+    hot spot AQE cannot split at corpus scale (r3 verdict item #3).
+    The only allowed Window is the per-doc top-k (bounded by a doc's
+    own vocabulary)."""
+    from pygraphblas_spark.pipeline.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    plan = _plan(tfidf_top_terms(docs, k=3))
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln or ln.strip().startswith("Window")]
+    for ln in win_lines:
+        # partition spec is the second bracketed list: Window [exprs], [part], [order]
+        assert "doc_id" in ln, f"Window not partitioned by doc id: {ln}"
