@@ -19,12 +19,36 @@ updates it incrementally per micro-batch:
    components, not graph size;
 4. **merge**: untouched state rows pass through unchanged.
 
-State persistence is LSM-shaped so the per-batch WRITE is also ∝ the
-affected set: ``state_root/base`` holds the last compacted snapshot and
-``state_root/delta`` accumulates per-batch changed rows stamped with a
-monotone ``seq``; readers resolve last-writer-wins per id, and
-``compact_state`` folds deltas into a new base. At scale both tables
-would be bucketed by id so the resolve and the star-edge joins co-locate.
+State persistence is LSM-shaped and **bucket-pruned** so the per-batch
+READ and WRITE are both ∝ the affected set, not total state:
+
+- ``state_root/base`` holds the last compacted snapshot in a DUAL
+  layout: ``base/byid`` hash-partitioned into ``N_STATE_BUCKETS``
+  directories on the id (vertex → component lookups prune to the
+  batch's id-buckets) and ``base/bycomp`` partitioned on the component
+  (member expansion of an affected component prunes to its
+  comp-buckets). Both are written from one resolved snapshot in the
+  same compaction, so they are mutually consistent.
+- ``state_root/delta`` accumulates per-batch changed rows stamped with
+  a monotone ``seq``; it is flat (unbucketed) but its size is bounded
+  by the compaction cadence, so resolving it fully per batch is
+  O(changes-since-last-compaction), not O(state).
+- ``batch_affected_state`` combines the two: the only base partitions
+  scanned are the id-buckets of the batch's vertices plus the
+  comp-buckets of the affected components (Spark partition pruning on
+  the directory column — the reads pass an explicit schema so not even
+  parquet footers outside those buckets are opened). Delta rows
+  supersede base rows per id (anti-join on the small resolved delta).
+
+Compaction (``compact_state``) folds base+delta into a fresh dual
+snapshot with a crash-safe swap: write ``base_new`` completely, rename
+``base`` → ``base_old``, rename ``base_new`` → ``base``, delete
+``delta``, delete ``base_old``. A crash between any two steps leaves
+either ``base`` or ``base_old`` live (readers fall back to
+``base_old`` when ``base`` is missing), and the delta log is only
+deleted after the snapshot that contains it is in place — no ordering
+loses rows that lived only in the old base (the pre-fix sequence
+deleted ``base`` before the rename and could).
 
 The incremental result provably equals a from-scratch recompute: star
 edges preserve each prior component's connectivity, batch edges are
@@ -39,12 +63,63 @@ from pyspark.sql import functions as F
 
 from pygraphblas_spark.streaming.core import stream_edges_from_files
 
+#: Default number of hash buckets for the compacted base snapshot. The
+#: writer (compact_state) and readers must agree; at production scale
+#: this lives in table properties — here it is a keyword argument with a
+#: consistent default. 64 buckets keeps per-bucket state ≤ ~1.6% of
+#: total, so a batch touching k components scans ≲ k/64 of the base.
+N_STATE_BUCKETS = 64
 
-def _exists(spark: SparkSession, path: str) -> bool:
+_BYID_SCHEMA = "id long, component long, b int"
+_BYCOMP_SCHEMA = "id long, component long, cb int"
+
+#: Introspection for tests/metrics: the bucket lists the last
+#: ``batch_affected_state`` call actually scanned (None = no base).
+last_batch_read_info: dict = {}
+
+
+def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(hconf).exists(p)
+    return p.getFileSystem(hconf), jvm.org.apache.hadoop.fs.Path
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    fs, P = _fs(spark, path)
+    return fs.exists(P(path))
+
+
+def _bucket_of(col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+
+
+def _live_base(spark: SparkSession, state_root: str) -> str | None:
+    """The current base snapshot path: ``base``, else the ``base_old``
+    a crashed compaction left behind (see module docstring), else None."""
+    for name in ("base", "base_old"):
+        if _exists(spark, f"{state_root}/{name}"):
+            return f"{state_root}/{name}"
+    return None
+
+
+def _read_delta(spark: SparkSession, state_root: str) -> DataFrame | None:
+    p = f"{state_root}/delta"
+    if not _exists(spark, p):
+        return None
+    return spark.read.schema("id long, component long, seq long").parquet(p)
+
+
+def _resolve(allrows: DataFrame) -> DataFrame:
+    """Last-writer-wins per id; ``distinct`` because a crash-retried
+    micro-batch appends identical rows with the same seq (labels are
+    deterministic), which the resolve must dedup."""
+    latest = allrows.groupBy("id").agg(F.max("seq").alias("seq"))
+    return (
+        allrows.join(latest, ["id", "seq"], "left_semi")
+        .select("id", "component")
+        .distinct()
+    )
 
 
 def components_batch(
@@ -79,16 +154,20 @@ def components_batch(
     # vertex set) — materialize the affected-set-sized table once instead
     # of re-running the semi-join, without leaking a persist past return
     touched = state.join(affected, "component", "left_semi").localCheckpoint()
+    updated = _recompute_touched(e, batch_verts, touched)
+    untouched = state.join(affected, "component", "left_anti")
+    return untouched.unionByName(updated)
+
+
+def _recompute_touched(
+    e: DataFrame, batch_verts: DataFrame, touched: DataFrame
+) -> DataFrame:
+    """Local CC over batch edges ∪ star edges of the touched rows."""
     stars = touched.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("src"), F.col("component").alias("dst")
     )
-    sub_edges = e.unionByName(stars)
-    sub_verts = (
-        batch_verts.unionByName(touched.select("id")).distinct()
-    )
-    updated = _local_cc(sub_edges, sub_verts)
-    untouched = state.join(affected, "component", "left_anti")
-    return untouched.unionByName(updated)
+    sub_verts = batch_verts.unionByName(touched.select("id")).distinct()
+    return _local_cc(e.unionByName(stars), sub_verts)
 
 
 def _local_cc(edges: DataFrame, verts: DataFrame) -> DataFrame:
@@ -106,50 +185,166 @@ def _local_cc(edges: DataFrame, verts: DataFrame) -> DataFrame:
 
 
 def read_state(spark: SparkSession, state_root: str) -> DataFrame | None:
-    """Resolve the current state: base snapshot + last-writer-wins deltas."""
-    base_p, delta_p = f"{state_root}/base", f"{state_root}/delta"
-    have_base, have_delta = _exists(spark, base_p), _exists(spark, delta_p)
-    if not have_base and not have_delta:
+    """Resolve the FULL current state: base snapshot + last-writer-wins
+    deltas. O(state) — for final reads, compaction, and oracles; the
+    per-batch path is ``batch_affected_state`` (bucket-pruned)."""
+    base = _live_base(spark, state_root)
+    delta = _read_delta(spark, state_root)
+    if base is None and delta is None:
         return None
     parts = []
-    if have_base:
+    if base is not None:
         parts.append(
-            spark.read.parquet(base_p).select(
-                "id", "component", F.lit(-1).cast("long").alias("seq")
-            )
+            spark.read.schema(_BYID_SCHEMA)
+            .parquet(f"{base}/byid")
+            .select("id", "component", F.lit(-1).cast("long").alias("seq"))
         )
-    if have_delta:
-        parts.append(spark.read.parquet(delta_p).select("id", "component", "seq"))
+    if delta is not None:
+        parts.append(delta)
     allrows = parts[0]
     for p in parts[1:]:
         allrows = allrows.unionByName(p)
-    latest = allrows.groupBy("id").agg(F.max("seq").alias("seq"))
-    # distinct: a crash-retried micro-batch appends identical rows with
-    # the same seq (deterministic labels) — resolve must dedup them
-    return (
-        allrows.join(latest, ["id", "seq"], "left_semi")
-        .select("id", "component")
-        .distinct()
-    )
+    return _resolve(allrows)
 
 
-def compact_state(spark: SparkSession, state_root: str) -> None:
-    """Fold deltas into a fresh base snapshot (called on a maintenance
-    cadence; per-batch writes stay ∝ affected size between compactions)."""
+def batch_affected_state(
+    spark: SparkSession,
+    state_root: str,
+    batch_verts: DataFrame,
+    n_buckets: int = N_STATE_BUCKETS,
+) -> DataFrame | None:
+    """Current ``(id, component)`` rows of every component touched by
+    ``batch_verts``, reading only:
+
+    - the resolved delta log (≤ changes since last compaction), and
+    - the base id-buckets of the batch's vertices plus the base
+      comp-buckets of the affected components (partition-pruned).
+
+    Per-batch read/shuffle is therefore ∝ affected set + compaction
+    cadence — NOT total state. The two ``.collect()`` calls gather only
+    distinct bucket ids (≤ ``n_buckets`` ints each, the literal values
+    the partition-pruning filter needs). Returns None when no state
+    exists yet; otherwise one row per member id of an affected
+    component.
+    """
+    base = _live_base(spark, state_root)
+    delta = _read_delta(spark, state_root)
+    last_batch_read_info.clear()
+    if base is None and delta is None:
+        return None
+    bv = batch_verts.select("id").distinct()
+    delta_res = _resolve(delta).localCheckpoint() if delta is not None else None
+
+    # --- current component of each batch vertex present in state
+    cur_parts = []
+    if base is not None:
+        bkts = sorted(
+            r["b"]
+            for r in bv.select(_bucket_of("id", n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        )
+        last_batch_read_info["id_buckets"] = bkts
+        if bkts:
+            byid = (
+                spark.read.schema(_BYID_SCHEMA)
+                .parquet(f"{base}/byid")
+                .filter(F.col("b").isin(bkts))
+            )
+            base_bv = byid.join(bv, "id", "left_semi").select("id", "component")
+            if delta_res is not None:
+                base_bv = base_bv.join(delta_res, "id", "left_anti")
+            cur_parts.append(base_bv)
+    if delta_res is not None:
+        cur_parts.append(
+            delta_res.join(bv, "id", "left_semi").select("id", "component")
+        )
+    if not cur_parts:  # empty micro-batch against a base-only state
+        return spark.createDataFrame([], "id long, component long")
+    cur = cur_parts[0]
+    for p in cur_parts[1:]:
+        cur = cur.unionByName(p)
+    affected = cur.select("component").distinct().localCheckpoint()
+
+    # --- all members of the affected components
+    member_parts = []
+    if base is not None:
+        cbkts = sorted(
+            r["cb"]
+            for r in affected.select(
+                _bucket_of("component", n_buckets).alias("cb")
+            )
+            .distinct()
+            .collect()
+        )
+        last_batch_read_info["comp_buckets"] = cbkts
+        if cbkts:
+            bycomp = (
+                spark.read.schema(_BYCOMP_SCHEMA)
+                .parquet(f"{base}/bycomp")
+                .filter(F.col("cb").isin(cbkts))
+            )
+            m = bycomp.join(affected, "component", "left_semi").select(
+                "id", "component"
+            )
+            if delta_res is not None:
+                m = m.join(delta_res, "id", "left_anti")
+            member_parts.append(m)
+    if delta_res is not None:
+        member_parts.append(
+            delta_res.join(affected, "component", "left_semi").select(
+                "id", "component"
+            )
+        )
+    out = member_parts[0]
+    for p in member_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_state(
+    spark: SparkSession, state_root: str, n_buckets: int = N_STATE_BUCKETS
+) -> None:
+    """Fold deltas into a fresh dual-bucketed base snapshot (called on a
+    maintenance cadence; per-batch reads/writes stay ∝ affected size +
+    delta size between compactions).
+
+    Crash-safe swap ordering — ``base_new`` is complete and durable
+    before anything existing moves, and the live snapshot is always
+    reachable as ``base`` or ``base_old``:
+
+    1. write ``base_new/{byid,bycomp}``
+    2. delete a stale ``base_old`` (only when ``base`` also exists —
+       i.e. the previous compaction completed past step 4)
+    3. rename ``base`` → ``base_old``
+    4. rename ``base_new`` → ``base``
+    5. delete ``delta`` (its rows are folded into the new base; a crash
+       before this re-resolves them idempotently — identical values win)
+    6. delete ``base_old``
+    """
     resolved = read_state(spark, state_root)
     if resolved is None:
         return
+    resolved = resolved.persist()
     tmp = f"{state_root}/base_new"
-    resolved.write.mode("overwrite").parquet(tmp)
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.Path(state_root).getFileSystem(hconf)
-    P = jvm.org.apache.hadoop.fs.Path
-    # base_new is complete and durable before anything is deleted: a
-    # crash here leaves base_new orphaned (harmless) or requires re-run
-    fs.delete(P(f"{state_root}/base"), True)
-    fs.rename(P(tmp), P(f"{state_root}/base"))
+    resolved.withColumn("b", _bucket_of("id", n_buckets)).write.partitionBy(
+        "b"
+    ).mode("overwrite").parquet(f"{tmp}/byid")
+    resolved.withColumn(
+        "cb", _bucket_of("component", n_buckets)
+    ).write.partitionBy("cb").mode("overwrite").parquet(f"{tmp}/bycomp")
+    resolved.unpersist()
+
+    fs, P = _fs(spark, state_root)
+    base, base_old = f"{state_root}/base", f"{state_root}/base_old"
+    if fs.exists(P(base)):
+        if fs.exists(P(base_old)):
+            fs.delete(P(base_old), True)
+        fs.rename(P(base), P(base_old))
+    fs.rename(P(tmp), P(base))
     fs.delete(P(f"{state_root}/delta"), True)
+    if fs.exists(P(base_old)):
+        fs.delete(P(base_old), True)
 
 
 def incremental_components_maintenance(
@@ -157,36 +352,29 @@ def incremental_components_maintenance(
     stream_path: str,
     state_root: str,
     checkpoint_dir: str,
+    n_buckets: int = N_STATE_BUCKETS,
 ):
     """Run incremental CC over all currently-available stream input
-    (trigger availableNow) and block until done. Per batch, only the
+    (trigger availableNow) and block until done. Per batch, state is
+    READ via ``batch_affected_state`` (bucket-pruned — only the touched
+    base partitions plus the compaction-bounded delta) and only the
     rows of affected components (plus new vertices) are appended to the
     delta log, stamped with the micro-batch id as ``seq``."""
     edges = stream_edges_from_files(spark, stream_path)
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        state = read_state(sess, state_root)
         e = batch.select("src", "dst")
-        if state is None:
+        batch_verts = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        touched = batch_affected_state(sess, state_root, batch_verts, n_buckets)
+        if touched is None:
             changed = components_batch(e, None)
         else:
-            batch_verts = (
-                e.select(F.col("src").alias("id"))
-                .unionByName(e.select(F.col("dst").alias("id")))
-                .distinct()
-            )
-            affected = (
-                state.join(batch_verts, "id", "left_semi")
-                .select("component")
-                .distinct()
-            )
-            touched = state.join(affected, "component", "left_semi")
-            stars = touched.filter(F.col("id") != F.col("component")).select(
-                F.col("id").alias("src"), F.col("component").alias("dst")
-            )
-            sub_verts = batch_verts.unionByName(touched.select("id")).distinct()
-            changed = _local_cc(e.unionByName(stars), sub_verts)
+            changed = _recompute_touched(e, batch_verts, touched)
         changed.select(
             "id", "component", F.lit(batch_id).cast("long").alias("seq")
         ).write.mode("append").parquet(f"{state_root}/delta")
