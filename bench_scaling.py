@@ -126,7 +126,7 @@ eng.close()
 et = spark.read.parquet(tri_path).persist()
 net = et.count()
 tots = []
-for _ in range(2):
+for _ in range(3):
     t0 = time.time()
     tri = triangle_count(et)
     tots.append(time.time() - t0)
@@ -142,6 +142,74 @@ print("PROBE_RESULT " + json.dumps(
     {"cores": int(cores), "edges": ne, "sym_edges": nes, "n": n,
      "algos": out}), flush=True)
 """
+
+
+PIPE_PROBE = r"""
+import os, sys, time, json
+cores, docs_path, emb_path, reps = (
+    sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4]))
+os.environ["SPARK_GRAFT_CPUS"] = cores
+from pygraphblas_spark.session import get_spark
+from pygraphblas_spark.pipeline.dedup import minhash_lsh_candidates
+from pygraphblas_spark.pipeline.similarity import ivf_topk
+
+spark = get_spark("pipe_probe", cores=cores, shuffle_partitions=32)
+out = {}
+def timed(name, fn, basis):
+    # one-shot jobs: clean floor = min total over reps (same rationale
+    # as the iterative probes — single-box noise is additive)
+    tots = []
+    for _ in range(reps):
+        t0 = time.time(); fn(); tots.append(time.time() - t0)
+    floor = min(tots)
+    out[name] = {"iters": 1, "per_iter_sec": round(floor, 3),
+                 "per_iter_median_sec": round(sorted(tots)[len(tots) // 2], 3),
+                 "per_iter_max_sec": round(max(tots), 3),
+                 "noise_ratio": round(max(tots) / floor, 2),
+                 "eps_iter": round(basis / floor),
+                 "reps": [round(t, 1) for t in tots]}
+
+docs = spark.read.parquet(docs_path).persist()
+nd = docs.count()
+timed("minhash_lsh", lambda: minhash_lsh_candidates(
+    docs, num_perm=32, bands=8, shingle_n=3, verify_threshold=0.5,
+    max_bucket_size=64).count(), nd)
+docs.unpersist()
+
+emb = spark.read.parquet(emb_path).persist()
+nv = emb.count()
+qs = spark.read.parquet(emb_path[:-len('.parquet')] + "_q.parquet").persist()
+nq = qs.count()
+timed("ivf_build_query", lambda: ivf_topk(
+    emb, qs, k=10, n_centroids=256, nprobe=8).count(), nv)
+print("PROBE_RESULT " + json.dumps(
+    {"cores": int(cores), "edges": nd, "n": nv, "n_queries": nq,
+     "kind": "pipeline", "algos": out}), flush=True)
+"""
+
+
+def _code_tag(kind: str) -> str:
+    """Version tag for the code a probe's performance depends on: floors
+    are only merged across runs of identical code (a stale faster floor
+    from pre-regression code must not mask the regression), but unrelated
+    commits — report wording, other modules — keep recorded floors valid."""
+    import hashlib
+
+    pkg = os.path.join(REPO, "pygraphblas_spark")
+    files = {
+        "graph": [
+            "kernels/csr_dense.py", "kernels/tri_csr.py",
+            "algorithms/pagerank.py", "algorithms/components.py",
+            "algorithms/labelprop.py", "algorithms/triangles.py",
+            "plans/checkpoint.py", "session.py",
+        ],
+        "pipeline": ["pipeline/dedup.py", "pipeline/similarity.py", "session.py"],
+    }[kind]
+    h = hashlib.sha256()
+    for f in files:
+        with open(os.path.join(pkg, f), "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:12]
 
 
 def _tag(n_files: int) -> str:
@@ -184,7 +252,60 @@ def ensure_input(n_files: int, sym: bool = False) -> str:
     return sym_path if sym else path
 
 
+def ensure_pipe_input(n_docs: int, n_vecs: int, n_queries: int) -> tuple[str, str]:
+    """Generate (once) the deterministic synthetic doc corpus (with
+    planted near-duplicates so LSH verify does real work) and embedding
+    tables — all hash-derived Spark expressions, no RNG state."""
+    docs_path = os.path.join(DATA_DIR, f"docs_{_tag(n_docs)}.parquet")
+    emb_path = os.path.join(DATA_DIR, f"emb_{_tag(n_vecs)}.parquet")
+    if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
+        gen = (
+            "import os\n"
+            "os.environ.setdefault('SPARK_GRAFT_CPUS', '32')\n"
+            "from pygraphblas_spark.session import get_spark\n"
+            "from pyspark.sql import functions as F\n"
+            "spark = get_spark('gen_docs')\n"
+            f"n = {n_docs}\n"
+            # every 7th+1 doc mutates ~10% of the previous doc's tokens —
+            # a planted near-dup its LSH bucket must recover
+            "base = F.when(F.col('id') % 7 == 1, F.col('id') - 1).otherwise(F.col('id'))\n"
+            "tok = lambda j: F.concat(F.lit('w'), F.pmod(F.xxhash64(base * 1000003 + j), F.lit(50000)).cast('string'))\n"
+            "mut = lambda j: F.when((F.col('id') % 7 == 1) & (F.pmod(F.xxhash64(F.col('id') * 7919 + j), 10) < 1),\n"
+            "                       F.concat(F.lit('m'), F.pmod(F.xxhash64(F.col('id') * 31 + j), F.lit(50000)).cast('string'))).otherwise(tok(j))\n"
+            "text = F.concat_ws(' ', F.transform(F.sequence(F.lit(1), F.lit(80)), mut))\n"
+            "df = spark.range(n).select(F.col('id').alias('doc_id'), text.alias('text'))\n"
+            f"df.write.mode('overwrite').parquet({docs_path!r})\n"
+        )
+        print(f"generating {docs_path} ({n_docs} docs)...", file=sys.stderr, flush=True)
+        subprocess.run([sys.executable, "-c", gen], check=True, cwd=REPO)
+    if not os.path.exists(os.path.join(emb_path, "_SUCCESS")):
+        gen = (
+            "import os\n"
+            "os.environ.setdefault('SPARK_GRAFT_CPUS', '32')\n"
+            "from pygraphblas_spark.session import get_spark\n"
+            "from pyspark.sql import functions as F\n"
+            "spark = get_spark('gen_emb')\n"
+            "def vecs(n, seed):\n"
+            "    v = F.transform(F.sequence(F.lit(0), F.lit(63)),\n"
+            "        lambda j: ((F.pmod(F.xxhash64(F.col('id') * 97 + j, F.lit(seed)), F.lit(2000001)) - 1000000) / 1000000.0).cast('float'))\n"
+            "    return spark.range(n).select(F.col('id').alias('vec_id'), v.alias('embedding'))\n"
+            f"vecs({n_vecs}, 1).write.mode('overwrite').parquet({emb_path!r})\n"
+            f"vecs({n_queries}, 2).write.mode('overwrite').parquet({emb_path[:-len('.parquet')] + '_q.parquet'!r})\n"
+        )
+        print(f"generating {emb_path} ({n_vecs} vecs)...", file=sys.stderr, flush=True)
+        subprocess.run([sys.executable, "-c", gen], check=True, cwd=REPO)
+    return docs_path, emb_path
+
+
 RUNS_LOG = os.path.join(DATA_DIR, "probe_runs.jsonl")
+
+
+def _record(r: dict, kind: str) -> dict:
+    r.setdefault("kind", kind)
+    r["code_tag"] = _code_tag(kind)
+    with open(RUNS_LOG, "a") as f:
+        f.write(json.dumps(r) + "\n")
+    return _merge_runs(r)
 
 
 def run_probe(cores: int, path: str, sym_path: str, tri_path: str, iters: int) -> dict:
@@ -196,10 +317,20 @@ def run_probe(cores: int, path: str, sym_path: str, tri_path: str, iters: int) -
         raise RuntimeError(f"probe local[{cores}] failed:\n{out.stderr[-3000:]}")
     for line in out.stdout.splitlines():
         if line.startswith("PROBE_RESULT "):
-            r = json.loads(line[len("PROBE_RESULT "):])
-            with open(RUNS_LOG, "a") as f:
-                f.write(json.dumps(r) + "\n")
-            return _merge_runs(r)
+            return _record(json.loads(line[len("PROBE_RESULT "):]), "graph")
+    raise RuntimeError(f"no PROBE_RESULT in output:\n{out.stdout[-2000:]}")
+
+
+def run_pipe_probe(cores: int, docs_path: str, emb_path: str, reps: int = 3) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", PIPE_PROBE, str(cores), docs_path, emb_path, str(reps)],
+        capture_output=True, text=True, timeout=7200, cwd=REPO,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"pipe probe local[{cores}] failed:\n{out.stderr[-3000:]}")
+    for line in out.stdout.splitlines():
+        if line.startswith("PROBE_RESULT "):
+            return _record(json.loads(line[len("PROBE_RESULT "):]), "pipeline")
     raise RuntimeError(f"no PROBE_RESULT in output:\n{out.stdout[-2000:]}")
 
 
@@ -211,13 +342,22 @@ def _merge_runs(latest: dict) -> dict:
     algorithm inflated 3-20x for minutes); merging floors across runs is
     the defense — identical work, identical code, min is min. Medians /
     max / noise ratios stay per-latest-run so burst variance remains
-    visible and honestly reported."""
+    visible and honestly reported.
+
+    "Identical code" is enforced via ``code_tag`` (content hash of the
+    files the probe's performance depends on): a floor recorded before a
+    kernel change never merges into post-change runs, so regressions
+    cannot hide behind stale faster floors. Records predating the tag
+    are excluded for the same reason."""
     if not os.path.exists(RUNS_LOG):
         return latest
     runs = [json.loads(l) for l in open(RUNS_LOG) if l.strip()]
     same = [
         r for r in runs
-        if r["cores"] == latest["cores"] and r["edges"] == latest["edges"]
+        if r["cores"] == latest["cores"]
+        and r["edges"] == latest["edges"]
+        and r.get("kind", "graph") == latest.get("kind", "graph")
+        and r.get("code_tag") == latest.get("code_tag")
     ]
     merged = json.loads(json.dumps(latest))
     for algo, cell in merged["algos"].items():
@@ -250,20 +390,33 @@ def main():
     ap.add_argument("--report-only", action="store_true",
                     help="regenerate the report from recorded probe runs "
                          "(cross-run floor merge), no new measurement")
+    ap.add_argument("--pipe-docs", type=int, default=400_000,
+                    help="doc count for the minhash-LSH pipeline probe")
+    ap.add_argument("--pipe-vecs", type=int, default=200_000,
+                    help="base vector count for the IVF pipeline probe")
+    ap.add_argument("--pipe-queries", type=int, default=5_000)
+    ap.add_argument("--skip-pipeline", action="store_true",
+                    help="measure only the graph algorithms")
+    ap.add_argument("--skip-graph", action="store_true",
+                    help="measure only the pipeline tier")
     args = ap.parse_args()
     if args.quick:
         args.files, args.iters, args.tri_files = 200_000, 6, 200_000
+        args.pipe_docs, args.pipe_vecs, args.pipe_queries = 50_000, 20_000, 500
 
     ratio = args.high / args.low
     if args.report_only:
         runs = [json.loads(l) for l in open(RUNS_LOG) if l.strip()]
 
-        def latest_for(cores):
-            # latest FULL run (partial records — e.g. a single-algorithm
-            # re-probe appended to tighten one floor — only feed the merge)
+        def latest_for(cores, kind="graph", min_algos=3):
+            # latest FULL run of this kind (partial records — e.g. a
+            # single-algorithm re-probe appended to tighten one floor —
+            # only feed the merge)
             cands = [
                 r for r in runs
-                if r["cores"] == cores and len(r["algos"]) >= 3
+                if r["cores"] == cores
+                and r.get("kind", "graph") == kind
+                and len(r["algos"]) >= min_algos
             ]
             return _merge_runs(cands[-1]) if cands else None
 
@@ -271,19 +424,49 @@ def main():
         if r_low is None or r_high is None:
             raise SystemExit("no recorded runs for the requested levels")
         r_x = latest_for(args.extra_high) if args.extra_high else None
+        p_low = latest_for(args.low, "pipeline", 2)
+        p_high = latest_for(args.high, "pipeline", 2)
         path = os.path.join(DATA_DIR, f"edges_{_tag(args.files)}.parquet")
     else:
-        path = ensure_input(args.files)
-        sym_path = ensure_input(args.files, sym=True)
-        tri_path = ensure_input(args.tri_files)
-
-        r_low = run_probe(args.low, path, sym_path, tri_path, args.iters)
-        r_high = run_probe(args.high, path, sym_path, tri_path, args.iters)
-        r_x = (
-            run_probe(args.extra_high, path, sym_path, tri_path, args.iters)
-            if args.extra_high
-            else None
-        )
+        r_low = r_high = r_x = p_low = p_high = None
+        path = os.path.join(DATA_DIR, f"edges_{_tag(args.files)}.parquet")
+        if not args.skip_graph:
+            path = ensure_input(args.files)
+            sym_path = ensure_input(args.files, sym=True)
+            tri_path = ensure_input(args.tri_files)
+            r_low = run_probe(args.low, path, sym_path, tri_path, args.iters)
+            r_high = run_probe(args.high, path, sym_path, tri_path, args.iters)
+            r_x = (
+                run_probe(args.extra_high, path, sym_path, tri_path, args.iters)
+                if args.extra_high
+                else None
+            )
+        if not args.skip_pipeline:
+            docs_path, emb_path = ensure_pipe_input(
+                args.pipe_docs, args.pipe_vecs, args.pipe_queries
+            )
+            p_low = run_pipe_probe(args.low, docs_path, emb_path)
+            p_high = run_pipe_probe(args.high, docs_path, emb_path)
+        if r_low is None:  # graph skipped: pull latest recorded for report
+            runs = [json.loads(l) for l in open(RUNS_LOG) if l.strip()]
+            for r in runs:
+                if r.get("kind", "graph") == "graph" and len(r["algos"]) >= 3:
+                    if r["cores"] == args.low:
+                        r_low = _merge_runs(r)
+                    elif r["cores"] == args.high:
+                        r_high = _merge_runs(r)
+                    elif r["cores"] == args.extra_high:
+                        r_x = _merge_runs(r)
+            if r_low is None or r_high is None:
+                raise SystemExit("--skip-graph needs recorded graph runs")
+        if p_low is None:  # pipeline skipped: latest recorded, if any
+            runs = [json.loads(l) for l in open(RUNS_LOG) if l.strip()]
+            for r in runs:
+                if r.get("kind") == "pipeline" and len(r["algos"]) >= 2:
+                    if r["cores"] == args.low:
+                        p_low = _merge_runs(r)
+                    elif r["cores"] == args.high:
+                        p_high = _merge_runs(r)
 
     lines = [
         "# BENCH — scaling efficiency report",
@@ -360,6 +543,46 @@ def main():
             f" | {b['per_iter_sec']} / {b.get('per_iter_median_sec')} / {b.get('per_iter_max_sec')}"
             f" | {b.get('noise_ratio')}x | {a['iters']} |"
         )
+    if p_low is not None and p_high is not None:
+        lines += [
+            "",
+            "## Pipeline tier (minhash-LSH dedup, IVF build+query)",
+            "",
+            "Same N→4N clean-floor protocol over the LLM-data-pipeline",
+            f"operators: banded MinHash-LSH near-dup detection with exact-",
+            f"Jaccard verify over {p_low['edges']:,} synthetic docs (~80 tokens",
+            "each, planted near-duplicates), and an IVF index build + top-k",
+            f"query ({p_low['n']:,} base vectors × 64 dims, 256 lists,",
+            f"{p_low.get('n_queries', 0):,} queries probing 8 lists). One-shot jobs:",
+            "floor = min total wall-clock over 3 reps per level.",
+            "",
+            f"| operator | local[{args.low}] items/s | local[{args.high}] items/s | speedup | efficiency |",
+            "|---|---|---|---|---|",
+        ]
+        p_effs = []
+        for algo in p_low["algos"]:
+            a = p_low["algos"][algo]["eps_iter"]
+            b = p_high["algos"][algo]["eps_iter"]
+            sp = b / a
+            eff = sp / ratio
+            p_effs.append(eff)
+            lines.append(f"| {algo} | {a:,} | {b:,} | {sp:.2f}x | **{eff:.2f}** |")
+        lines += [
+            "",
+            f"Mean pipeline efficiency N→{ratio:.0f}N: "
+            f"**{sum(p_effs) / len(p_effs):.2f}** (target ≥ 0.8).",
+            "",
+            f"| operator | local[{args.low}] flr/med/max | noise | local[{args.high}] flr/med/max | noise |",
+            "|---|---|---|---|---|",
+        ]
+        for algo in p_low["algos"]:
+            a, b = p_low["algos"][algo], p_high["algos"][algo]
+            lines.append(
+                f"| {algo} | {a['per_iter_sec']} / {a.get('per_iter_median_sec')} / {a.get('per_iter_max_sec')}"
+                f" | {a.get('noise_ratio')}x"
+                f" | {b['per_iter_sec']} / {b.get('per_iter_median_sec')} / {b.get('per_iter_max_sec')}"
+                f" | {b.get('noise_ratio')}x |"
+            )
     if r_x:
         lines += [
             "",
@@ -383,7 +606,8 @@ def main():
         "",
         "Raw JSON:",
         "```json",
-        json.dumps({"low": r_low, "high": r_high, "extra": r_x}, indent=1),
+        json.dumps({"low": r_low, "high": r_high, "extra": r_x,
+                    "pipeline_low": p_low, "pipeline_high": p_high}, indent=1),
         "```",
     ]
 

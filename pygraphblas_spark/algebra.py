@@ -545,15 +545,26 @@ semiring("ANY_SECOND", "ANY", "SECOND", lambda a, b: F.first(b))
 # PLUS = x + log1p(exp(y - x)), TIMES = x + y over log-space values —
 # i.e. ⊕ = logaddexp, ⊗ = +, so matrix products multiply probabilities
 # without underflow). The pairwise combine is the numerically-stable
-# two-argument form. The aggregate is the direct log(Σ exp(x)) — Spark
-# aggregates can't nest a max-shift inside the sum; fine for the
-# probability-log range the reference demo works in (logs ≤ 0 ⇒ exp ≤ 1,
-# no overflow; underflow only below ~-700).
+# two-argument form.
 def _logaddexp(a: Column, b: Column) -> Column:
     return F.greatest(a, b) + F.log1p(F.exp(-F.abs(a - b)))
 
 
 def _logsumexp_agg(c: Column) -> Column:
+    """Grouped ⊕ for LOGADD: the direct ``log(Σ exp(x))``.
+
+    **Domain restriction — log-probabilities (x ≤ 0) only.** Unlike the
+    pairwise ``_logaddexp`` above (max-shifted, stable for any x), a SQL
+    aggregate cannot nest the max-shift ``max(x) + log(Σ exp(x - max(x)))``
+    inside one grouped pass (``max(x)`` is itself an aggregate — nested
+    aggregates are rejected), so values above ~709 overflow ``exp`` to
+    ``inf``. That matches the semiring's purpose — the reference demo's
+    Log32 domain is log-probabilities, where exp(x) ≤ 1 — but
+    general-purpose use of LOGADD / LOGADD_PLUS on large positive
+    log-space values is out of contract. (A stable grouped variant would
+    need two aggregation passes or a collect_list fold — O(group) memory,
+    no map-side partials — and is deliberately not the default.)
+    """
     return F.log(F.sum(F.exp(c)))
 
 

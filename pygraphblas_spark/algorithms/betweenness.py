@@ -34,7 +34,11 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pygraphblas_spark.plans.checkpoint import iteration_conf, release_state
+from pygraphblas_spark.plans.checkpoint import (
+    CheckpointManager,
+    iteration_conf,
+    release_state,
+)
 
 
 def betweenness_centrality(
@@ -46,6 +50,10 @@ def betweenness_centrality(
     wave_size: int = 64,
     sample_sources: int = 64,
     exact: bool = False,
+    checkpoint: Optional[CheckpointManager] = None,
+    init: Optional[DataFrame] = None,
+    start_wave: int = 0,
+    max_waves: Optional[int] = None,
 ) -> DataFrame:
     """Brandes betweenness over directed edges (src, dst).
 
@@ -54,6 +62,20 @@ def betweenness_centrality(
     ``exact=True``. Sources are processed in waves of ``wave_size``.
     Returns (id: long, bc: double) for every vertex appearing in the
     graph; ``normalized`` divides by (n-1)(n-2) (directed convention).
+
+    **Durable resume**: a 10k-source exact run is hours of waves — pass a
+    durable ``checkpoint`` (root + interval) and each wave's RUNNING
+    TOTAL is persisted with a manifest record. To resume after a crash,
+    call ``CheckpointManager.resume(spark, root)`` → (wave, {"bc": df},
+    manifest) and re-invoke with the SAME sources/wave_size plus
+    ``init=states["bc"], start_wave=wave + 1`` — waves are formed by a
+    deterministic source hash, so the remaining waves are exactly the
+    unprocessed ones. ``max_waves`` bounds how many waves THIS invocation
+    processes (budgeted operation / split runs); a bounded run returns
+    the partial total, which is the valid ``init`` for the continuation.
+    Any of these three arguments (or a durable checkpoint) routes the run
+    to the wave engine — the in-core tier computes all sources in one
+    shot and cannot resume mid-wave.
     """
     spark = edges.sparkSession
     with iteration_conf(spark):
@@ -96,8 +118,16 @@ def betweenness_centrality(
         # remain the cluster/exact-BC engine.
         from pygraphblas_spark.kernels.csr_dense import INCORE_MAX_NNZ
 
+        ckpt = checkpoint or CheckpointManager(algorithm="betweenness")
+        wave_engine_forced = (
+            ckpt.durable
+            or init is not None
+            or start_wave > 0
+            or max_waves is not None
+        )
         if (
-            spark.sparkContext.master.startswith("local")
+            not wave_engine_forced
+            and spark.sparkContext.master.startswith("local")
             and n_src <= 4096
             and e.count() <= INCORE_MAX_NNZ
         ):
@@ -117,9 +147,14 @@ def betweenness_centrality(
                 verts.unpersist()
 
         n_waves = max(1, -(-n_src // wave_size))
+        end_wave = (
+            n_waves
+            if max_waves is None
+            else min(n_waves, start_wave + max_waves)
+        )
         try:
-            bc = None
-            for wv in range(n_waves):
+            bc = init
+            for wv in range(start_wave, end_wave):
                 wave_srcs = (
                     srcs
                     if n_waves == 1
@@ -128,20 +163,32 @@ def betweenness_centrality(
                     )
                 )
                 part = _bc_wave(spark, e, wave_srcs, max_levels)
-                if part is None:
-                    continue
-                if bc is None:
-                    bc = part
-                else:
-                    prev = bc
-                    bc = (
-                        bc.unionByName(part)
-                        .groupBy("id")
-                        .agg(F.sum("bc").alias("bc"))
-                        .localCheckpoint(eager=True)
-                    )
-                    release_state(prev)
-                    release_state(part)
+                if part is not None:
+                    if bc is None:
+                        bc = part
+                    else:
+                        prev = bc
+                        bc = (
+                            bc.unionByName(part)
+                            .groupBy("id")
+                            .agg(F.sum("bc").alias("bc"))
+                            .localCheckpoint(eager=True)
+                        )
+                        release_state(prev)
+                        release_state(part)
+                # per-wave durable running total + manifest record: the
+                # crash-resume unit (empty waves still advance the marker)
+                saved = ckpt.save(
+                    wv,
+                    {
+                        "bc": bc
+                        if bc is not None
+                        else spark.createDataFrame([], "id long, bc double")
+                    },
+                    {"wave": wv, "n_waves": n_waves, "empty": part is None},
+                )
+                if ckpt.on_cadence(wv):
+                    bc = saved["bc"]
             if bc is None:
                 bc = verts.select("id", F.lit(0.0).alias("bc"))
             bc = verts.join(bc, "id", "left_outer").select(

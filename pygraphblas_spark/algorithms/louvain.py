@@ -339,8 +339,20 @@ def _louvain_join(spark, e, n, max_iters, max_levels, num_partitions,
     )
     g = g.groupBy("src", "dst").agg(F.sum("w").alias("w"))
     if init is not None:
-        assign = init.select("id", "community").localCheckpoint(eager=True)
-        # pre-contract the symmetrized graph by the warm-start mapping
+        # total-ize the warm-start mapping first: vertices missing from a
+        # partial init self-map (id → id), exactly the in-core tier's
+        # arange-then-overwrite initialization. The previous inner joins
+        # against a partial init silently dropped those vertices' edges
+        # AND their output rows.
+        assign = (
+            spark.range(n)
+            .join(init.select("id", "community"), "id", "left")
+            .select(
+                "id", F.coalesce("community", F.col("id")).alias("community")
+            )
+            .localCheckpoint(eager=True)
+        )
+        # pre-contract the symmetrized graph by the (now-total) mapping
         lab_s = assign.select(F.col("id").alias("__i"), F.col("community").alias("__cs"))
         lab_d = assign.select(F.col("id").alias("__i"), F.col("community").alias("__cd"))
         g = (

@@ -295,8 +295,11 @@ def degree_centrality(edges: DataFrame) -> DataFrame:
         with FP64.PLUS_PAIR: return (A @ v) / A.nvals
 
     i.e. out-degree over the (symmetrized-as-given) edge set, divided by
-    the total number of stored edges. One groupBy — scan-speed."""
-    e = edges.select("src", "dst")
+    the total number of stored edges. ``A.nvals`` counts STORED entries —
+    a Matrix built from duplicate (src, dst) rows stores one — so the
+    edge rows are deduplicated first; duplicate input rows are collapsed,
+    not counted as parallel edges. One distinct + one groupBy."""
+    e = edges.select("src", "dst").distinct()
     nvals = e.count()
     return e.groupBy(F.col("src").alias("id")).agg(
         (F.count(F.lit(1)).cast("double") / F.lit(float(nvals))).alias(

@@ -360,6 +360,45 @@ def test_betweenness_waves_match_single_batch(spark):
         assert got.get(v, 0.0) == pytest.approx(want[v], abs=1e-9), v
 
 
+def test_betweenness_durable_resume_matches_straight_run(spark, tmp_path):
+    """Split run — process 2 of 4 waves with a durable per-wave running
+    total, crash, resume from the manifest — equals the straight run
+    (mirrors test_warm_start_matches_straight_run for pagerank/louvain)."""
+    from pygraphblas_spark.algorithms import betweenness_centrality
+    from pygraphblas_spark.plans.checkpoint import CheckpointManager
+    from tests.oracles import betweenness_oracle
+
+    I = [0, 0, 1, 1, 2, 3, 3, 4, 5, 6, 6, 6]
+    J = [1, 3, 4, 6, 5, 0, 2, 5, 2, 2, 3, 4]
+    e = spark.createDataFrame(list(zip(I, J)), "src long, dst long")
+    want = betweenness_oracle(I, J, 7, directed=True)
+
+    root = str(tmp_path / "bc_ck")
+    ck = CheckpointManager(root=root, interval=1, algorithm="betweenness")
+    # exact over 7 sources, wave_size=2 → 4 waves; stop after 2
+    betweenness_centrality(e, exact=True, wave_size=2, checkpoint=ck, max_waves=2)
+    durable = [r for r in ck.records if r.get("durable")]
+    assert [r["iteration"] for r in durable] == [0, 1]
+    assert all("n_waves" in r["metrics"] for r in durable)
+
+    # fresh driver: resume from the manifest alone
+    it, states, manifest = CheckpointManager.resume(spark, root)
+    assert it == 1 and manifest["algorithm"] == "betweenness"
+    resumed = betweenness_centrality(
+        e,
+        exact=True,
+        wave_size=2,
+        init=states["bc"],
+        start_wave=it + 1,
+        checkpoint=CheckpointManager(
+            root=str(tmp_path / "bc_ck2"), interval=1, algorithm="betweenness"
+        ),
+    )
+    got = {r["id"]: r["bc"] for r in resumed.collect()}
+    for v in range(7):
+        assert got.get(v, 0.0) == pytest.approx(want[v], abs=1e-9), v
+
+
 def test_bfs_sssp_incore_matches_join_path(spark, monkeypatch):
     # the in-core frontier tier must produce byte-identical results to
     # the distributed join loop (same cross-strategy contract as

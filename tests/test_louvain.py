@@ -118,6 +118,37 @@ def test_warm_start_matches_straight_run(spark):
         assert resumed == straight, strategy
 
 
+def test_partial_init_tiers_agree(spark):
+    """A warm-start init covering only SOME vertices must not drop the
+    other vertices' edges: both tiers self-map missing vertices (the join
+    tier previously inner-joined and silently lost those edges)."""
+    from pyspark.sql import functions as F
+
+    e = _fixture_edges(spark, 100)
+    # partial mapping: only even ids, mapped to id-rounded-down-to-4
+    init = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .filter(F.col("id") % 2 == 0)
+        .select("id", (F.col("id") - F.col("id") % 4).alias("community"))
+    )
+    results = {}
+    for strategy in ("incore", "join"):
+        results[strategy] = _groups(
+            louvain(e, strategy=strategy, init=init, start_level=1).collect()
+        )
+    assert results["incore"] == results["join"]
+    # every vertex still present — nothing was dropped
+    n_verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+    )
+    assert sum(len(g) for g in results["join"]) == n_verts
+
+
 def test_louvain_checkpoint_records_levels(spark, tmp_path):
     from pygraphblas_spark.plans.checkpoint import CheckpointManager
 
