@@ -1370,8 +1370,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s1 = components_batch(p1, None).localCheckpoint()
         return components_batch(p2, s1)
 
+    # ROTATION under the driver's ~50-query gate cap (57 registered):
+    # the gate runs the FIRST 50 dict entries, so ordering is the gate
+    # schedule. Policy: no query goes two consecutive rounds without a
+    # gate row. Queries the round-3 gate rotated OUT (green in round 2,
+    # unexercised in round 3: pii_redaction..sssp_weighted) lead this
+    # round; seven simple round-3-green operator queries with golden
+    # pytest coverage (eadd_union..tril_filter) sit past the cap and
+    # rotate back in next round.
     return {
         "stream_cc": stream_cc,
+        "pii_redaction": pii_redaction,
+        "repetition_flags": repetition_flags,
+        "bfs_parents": bfs_parents,
+        "stream_dedup": stream_dedup,
+        "stride_extract": stride_extract,
+        "mxm_masked_accum": mxm_masked_accum,
+        "sssp_weighted": sssp_weighted,
         "triangle_centrality": triangle_centrality_q,
         "degree_centrality": degree_centrality_q,
         "log_semiring_mxm": log_semiring_mxm,
@@ -1380,14 +1395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "out_degree": out_degree,
         "in_degree": in_degree,
         "part_cooccurrence": part_cooccurrence,
-        "eadd_union": eadd_union,
-        "emult_intersection": emult_intersection,
-        "select_gt": select_gt,
-        "apply_scale": apply_scale,
         "reduce_scalar": reduce_scalar,
         "mxv_spmv": mxv_spmv,
-        "transpose_pattern": transpose_pattern,
-        "tril_filter": tril_filter,
         "vector_eadd": vector_eadd,
         "triangle_count": triangle_count_q,
         "pagerank": pagerank_q,
@@ -1421,13 +1430,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": user_sessions,
         "simhash_near_dups": simhash_near_dups,
         "contamination": contamination,
-        "pii_redaction": pii_redaction,
-        "repetition_flags": repetition_flags,
-        "bfs_parents": bfs_parents,
-        "stream_dedup": stream_dedup,
-        "stride_extract": stride_extract,
-        "mxm_masked_accum": mxm_masked_accum,
-        "sssp_weighted": sssp_weighted,
+        # --- past the ~50 gate cap this round (green in round 3's gate,
+        # golden pytest coverage; rotate back in next round) ---
+        "eadd_union": eadd_union,
+        "emult_intersection": emult_intersection,
+        "select_gt": select_gt,
+        "apply_scale": apply_scale,
+        "transpose_pattern": transpose_pattern,
+        "tril_filter": tril_filter,
     }
 
 

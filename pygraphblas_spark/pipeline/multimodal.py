@@ -6,13 +6,18 @@ batch shape, ``mapInPandas`` kernel signatures. Decode status:
 - **REAL**: metadata extraction (``parse_media_metadata``) parses actual
   PNG IHDR headers and WAV containers with the pure stdlib
   (struct/zlib/wave) — no media libraries needed; the synthetic table
-  can carry genuinely valid PNG/WAV payloads (``payloads='real'``).
-- **STUBBED**: pixel/sample decode into features and video frame decode
-  (``decode_stub=True`` produces deterministic fake features;
-  ``decode_stub=False`` raises NotImplementedError) because no
-  PIL/librosa/pyav exist in this container; swapping them in means
-  replacing ONE clearly-marked function body — the distributed plan is
-  unchanged.
+  can carry genuinely valid PNG/WAV payloads (``payloads='real'`` for
+  header-level, ``payloads='raster'`` for full pixel rasters).
+- **REAL**: pixel/sample decode into features
+  (``extract_features(decode_stub=False)``): PNG via PIL when it is
+  importable (import-gated — any format), else a pure-stdlib zlib
+  decoder (8-bit gray/RGB/RGBA, non-interlaced, all 5 scanline
+  filters); WAV via stdlib ``wave`` (8/16-bit PCM, channel-averaged).
+- **STUBBED**: video frame decode (``sample_frames`` with
+  ``decode_stub=False`` raises NotImplementedError) — container
+  demuxing genuinely needs pyav/ffmpeg, absent here; swapping it in
+  means replacing ONE clearly-marked function body — the distributed
+  plan is unchanged.
 
 Design points that matter at 100 TB:
 - media bytes travel in a single ``binary`` column; metadata (mime,
@@ -70,10 +75,16 @@ FRAME_SCHEMA = T.StructType(
 WAV_SAMPLE_RATE = 1000
 
 
-def png_bytes(width: int, height: int) -> bytes:
-    """Minimal valid PNG (pure stdlib): signature + IHDR(w,h) + tiny
-    IDAT + IEND, all with correct CRCs. Header parsers (and ours) read
-    width/height from IHDR bytes 16..24 big-endian."""
+def png_bytes(width: int, height: int, full_raster: bool = False) -> bytes:
+    """Valid PNG (pure stdlib): signature + IHDR(w,h) + IDAT + IEND, all
+    with correct CRCs. Header parsers (and ours) read width/height from
+    IHDR bytes 16..24 big-endian.
+
+    ``full_raster=True`` writes a complete 8-bit grayscale raster
+    (deterministic ``(7x + 13y + 17) mod 256`` pattern, filter 0 per
+    scanline) that any real decoder — PIL or the stdlib decoder below —
+    can decode pixel-exactly; False keeps the cheap header-only payload
+    for plumbing-scale tests."""
     import struct
     import zlib
 
@@ -86,7 +97,17 @@ def png_bytes(width: int, height: int) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    idat = zlib.compress(b"\x00")  # not a full raster; header-level valid
+    if full_raster:
+        import numpy as np
+
+        x = np.arange(width, dtype=np.int64)
+        rows = []
+        for y in range(height):
+            line = ((7 * x + 13 * y + 17) % 256).astype(np.uint8)
+            rows.append(b"\x00" + line.tobytes())  # filter 0 per line
+        idat = zlib.compress(b"".join(rows))
+    else:
+        idat = zlib.compress(b"\x00")  # not a full raster; header-level valid
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -119,7 +140,10 @@ def synthesize_media_table(
     (sha256 text bytes) — plumbing-scale tests. ``payloads='real'``:
     actual PNG/WAV bytes built in an Arrow-batched kernel (video rows
     keep a fake payload — no container muxer in the stdlib), so the
-    metadata parser has real headers to read."""
+    metadata parser has real headers to read. ``payloads='raster'``:
+    like 'real' but PNGs carry a complete deterministic pixel raster —
+    the input for the REAL decode path (``extract_features`` with
+    ``decode_stub=False``)."""
     i = F.col("id")
     base = spark.range(n).select(
         i.alias("media_id"),
@@ -137,6 +161,7 @@ def synthesize_media_table(
     )
     if payloads == "fake":
         return base
+    raster = payloads == "raster"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -146,7 +171,7 @@ def synthesize_media_table(
                 pdf["duration_ms"], pdf["data"],
             ):
                 if mime == "image/png":
-                    data.append(png_bytes(int(w), int(h)))
+                    data.append(png_bytes(int(w), int(h), full_raster=raster))
                 elif mime == "audio/wav":
                     data.append(wav_bytes(int(dur)))
                 else:
@@ -232,27 +257,190 @@ def _fake_feature(data: bytes, dim: int) -> list[float]:
     return [float(x) for x in out[:dim]]
 
 
+def _png_decode_stdlib(data: bytes):
+    """REAL PNG pixel decode with the stdlib alone (zlib inflate +
+    scanline unfiltering): 8-bit depth, color types 0/2/6 (gray, RGB,
+    RGBA), non-interlaced. Returns an (h, w) float32 grayscale array in
+    [0, 1]. Anything fancier (16-bit, palette, Adam7) raises
+    NotImplementedError pointing at PIL — the import-gated fast path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            meta = (w, h, depth, ctype, interlace)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("no IHDR")
+    w, h, depth, ctype, interlace = meta
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 6):
+        raise NotImplementedError(
+            f"stdlib PNG decoder handles 8-bit gray/RGB/RGBA non-interlaced "
+            f"only (got depth={depth} ctype={ctype} interlace={interlace}) — "
+            "install PIL for the general path"
+        )
+    nch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("truncated PNG raster")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:  # None
+            rec = line
+        elif f == 1:  # Sub: cumulative per channel
+            rec = line.reshape(-1, nch).cumsum(axis=0).reshape(-1) % 256
+        elif f == 2:  # Up
+            rec = (line + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: sequential left-dependency
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = rec[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                if f == 3:
+                    rec[i] = (line[i] + (a + b) // 2) % 256
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[i] = (line[i] + pr) % 256
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    px = out.reshape(h, w, nch).astype(np.float32)
+    gray = px[:, :, : min(nch, 3)].mean(axis=2)  # alpha excluded
+    return gray / 255.0
+
+
+def _decode_image(data: bytes):
+    """(h, w) float grayscale in [0,1]: PIL when importable (any format),
+    else the stdlib PNG decoder above."""
+    try:
+        import io
+
+        import numpy as np
+        from PIL import Image  # import-gated: optional dependency
+
+        return np.asarray(
+            Image.open(io.BytesIO(data)).convert("L"), dtype="float32"
+        ) / 255.0
+    except ImportError:
+        return _png_decode_stdlib(data)
+
+
+def _decode_audio(data: bytes):
+    """Real WAV sample decode (stdlib wave + numpy): float samples in
+    [-1, 1], channels averaged. 8-bit unsigned and 16-bit signed PCM."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(data)) as wf:
+        nch, width = wf.getnchannels(), wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if width == 1:
+        s = (np.frombuffer(frames, dtype=np.uint8).astype("float32") - 128.0) / 128.0
+    elif width == 2:
+        s = np.frombuffer(frames, dtype="<i2").astype("float32") / 32768.0
+    else:
+        raise NotImplementedError(
+            f"{8 * width}-bit PCM — install soundfile for the general path"
+        )
+    if nch > 1:
+        s = s.reshape(-1, nch).mean(axis=1)
+    return s
+
+
+def _real_feature(mime: str, data: bytes, dim: int) -> list[float]:
+    """REAL decoded feature: images → per-chunk mean luminance of the
+    decoded raster; audio → per-chunk RMS of the decoded samples. A
+    stand-in for a model encoder, but computed from genuinely decoded
+    pixels/samples, so any decode bug changes the output."""
+    import numpy as np
+
+    if mime == "image/png":
+        vals = _decode_image(data).ravel()
+        return [
+            float(c.mean()) if len(c) else 0.0 for c in np.array_split(vals, dim)
+        ]
+    if mime == "audio/wav":
+        s = _decode_audio(data)
+        return [
+            float(np.sqrt((c ** 2).mean())) if len(c) else 0.0
+            for c in np.array_split(s, dim)
+        ]
+    raise NotImplementedError(
+        f"decode of {mime!r} needs a container demuxer (pyav/ffmpeg) — "
+        "not available; only image/png and audio/wav decode for real"
+    )
+
+
 def extract_features(
     media: DataFrame, dim: int = 32, decode_stub: bool = True
 ) -> DataFrame:
     """Per-media feature vector via mapInPandas (Arrow batches).
 
-    STUB: with ``decode_stub=True`` the 'decoder' is a deterministic
-    hash-derived vector; ``decode_stub=False`` raises — wire a real
-    image/audio library here (PIL.Image.open(io.BytesIO(buf)) etc.).
-    """
-    if not decode_stub:
-        raise NotImplementedError(
-            "real media decode needs PIL/librosa/av — not in this container; "
-            "replace _fake_feature and pass decode_stub=True semantics"
+    ``decode_stub=True`` (default): the 'decoder' is a deterministic
+    hash-derived vector — plumbing-scale tests, no payload decoding.
+
+    ``decode_stub=False``: REAL decode — PNG pixels via PIL when
+    importable, else the pure-stdlib zlib decoder (8-bit gray/RGB/RGBA,
+    non-interlaced); WAV samples via stdlib ``wave``; video rows raise
+    NotImplementedError (container demux needs pyav/ffmpeg). Features
+    are chunk-pooled luminance means / sample RMS — replace
+    ``_real_feature`` with a model call; the distributed plan is
+    unchanged either way."""
+    if decode_stub:
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "feature": [_fake_feature(d, dim) for d in pdf["data"]],
+                        "n_bytes": pdf["data"].map(len).astype("int32"),
+                        "sha": pdf["data"].map(
+                            lambda d: hashlib.sha256(d).hexdigest()
+                        ),
+                    }
+                )
+
+        return media.select("media_id", "data").mapInPandas(
+            kernel, FEATURE_SCHEMA
         )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kernel_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "feature": [ _fake_feature(d, dim) for d in pdf["data"] ],
+                    "feature": [
+                        _real_feature(m, bytes(d), dim)
+                        for m, d in zip(pdf["mime"], pdf["data"])
+                    ],
                     "n_bytes": pdf["data"].map(len).astype("int32"),
                     "sha": pdf["data"].map(
                         lambda d: hashlib.sha256(d).hexdigest()
@@ -260,7 +448,9 @@ def extract_features(
                 }
             )
 
-    return media.select("media_id", "data").mapInPandas(kernel, FEATURE_SCHEMA)
+    return media.select("media_id", "mime", "data").mapInPandas(
+        kernel_real, FEATURE_SCHEMA
+    )
 
 
 def sample_frames(

@@ -351,11 +351,127 @@ def test_multimodal_features(spark):
     vids = {r["media_id"] for r in media.filter(F.col("mime") == "video/mp4").collect()}
     assert {r["media_id"] for r in fr} <= vids
 
-    # stub gate raises for the real-decode path
+    # real decode of a video row is still honestly gated: container
+    # demux needs pyav/ffmpeg — the executor-side kernel raises
     import pytest as _pytest
 
+    vids_only = media.filter(F.col("mime") == "video/mp4")
+    with _pytest.raises(Exception, match="pyav"):
+        extract_features(vids_only, decode_stub=False).collect()
+
     with _pytest.raises(NotImplementedError):
-        extract_features(media, decode_stub=False)
+        sample_frames(media, decode_stub=False)
+
+
+def test_real_decode_features(spark):
+    """decode_stub=False REALLY decodes: PNG pixels (stdlib zlib decoder
+    in this container; PIL where importable) and WAV samples. The oracle
+    recomputes the pooled features from the generative pixel/sample
+    model directly in numpy."""
+    import numpy as np
+
+    from pygraphblas_spark.pipeline.multimodal import (
+        extract_features,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(spark, 24, payloads="raster").filter(
+        F.col("mime") != "video/mp4"
+    )
+    meta = {r["media_id"]: r for r in media.select(
+        "media_id", "mime", "width", "height").collect()}
+    got = {
+        r["media_id"]: list(r["feature"])
+        for r in extract_features(media, dim=8, decode_stub=False).collect()
+    }
+    assert set(got) == set(meta)
+    for mid, row in meta.items():
+        if row["mime"] == "image/png":
+            w, h = row["width"], row["height"]
+            x = np.arange(w)[None, :]
+            y = np.arange(h)[:, None]
+            px = ((7 * x + 13 * y + 17) % 256).astype("float32") / 255.0
+            want = [float(c.mean()) for c in np.array_split(px.ravel(), 8)]
+        else:  # WAV payload is constant 0x80 == sample 0.0 → RMS 0
+            want = [0.0] * 8
+        assert got[mid] == pytest.approx(want, abs=1e-6), (mid, row["mime"])
+
+
+def test_stdlib_png_decoder_all_filters():
+    """The stdlib decoder reconstructs every PNG scanline filter (0-4)
+    and RGB/RGBA, verified by forward-encoding a known pixel array."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pygraphblas_spark.pipeline.multimodal import _png_decode_stdlib
+
+    rng = np.random.default_rng(7)
+
+    def encode(px, ctype, filters):
+        h, w, nch = px.shape
+        stride = w * nch
+        flat = px.reshape(h, stride).astype(np.int32)
+        raw = bytearray()
+        prev = np.zeros(stride, dtype=np.int32)
+        for y2 in range(h):
+            line, f = flat[y2], filters[y2 % len(filters)]
+            enc = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (line[i] - pred) % 256
+            raw += bytes([f]) + enc.astype(np.uint8).tobytes()
+            prev = line
+
+        def chunk(tag, payload):
+            return (
+                struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        )
+
+    for ctype, nch in ((0, 1), (2, 3), (6, 4)):
+        px = rng.integers(0, 256, size=(9, 7, nch), dtype=np.uint8)
+        data = encode(px, ctype, filters=[0, 1, 2, 3, 4])
+        gray = _png_decode_stdlib(data)
+        want = px[:, :, : min(nch, 3)].astype("float32").mean(axis=2) / 255.0
+        assert np.allclose(gray, want, atol=1e-6), (ctype, nch)
+
+
+def test_pil_path_matches_stdlib_decoder():
+    """Where PIL is installed, the import-gated fast path must agree
+    with the stdlib decoder (skipped in containers without PIL)."""
+    import numpy as np
+
+    pytest.importorskip("PIL")
+    from pygraphblas_spark.pipeline.multimodal import (
+        _decode_image,
+        _png_decode_stdlib,
+        png_bytes,
+    )
+
+    data = png_bytes(33, 21, full_raster=True)
+    assert np.allclose(_decode_image(data), _png_decode_stdlib(data), atol=1e-6)
 
 
 def test_winnowing_fingerprints(spark):
