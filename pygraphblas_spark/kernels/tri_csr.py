@@ -60,11 +60,19 @@ def _csr_index(keys: np.ndarray, n: int):
     ~log2(max out-degree) gathers in contiguous memory instead of
     log2(m) random probes across the full key array. With degree-ordered
     orientation max out-degree is O(sqrt(m)), and in practice tiny."""
-    counts = np.bincount(keys // n, minlength=n)
+    return _csr_index_cols(keys // n, keys % n, n)
+
+
+def _csr_index_cols(src: np.ndarray, dst: np.ndarray, n: int):
+    """CSR probe index from (src, dst) columns already sorted by
+    (src, dst) — the shape Spark's parallel ``orderBy`` delivers, so the
+    driver never sorts, packs, or divides: one bincount + cumsum +
+    narrowing cast, all O(m) sequential passes."""
+    counts = np.bincount(src, minlength=n)
     ptr = np.zeros(n + 1, dtype="int64")
     np.cumsum(counts, out=ptr[1:])
     dt = "int32" if n <= (1 << 31) - 1 else "int64"
-    dsts = (keys % n).astype(dt)
+    dsts = dst.astype(dt, copy=False)
     return ptr, dsts
 
 
@@ -295,15 +303,22 @@ def triangle_count_blocked(
     oriented, n_ranked, pinned = _oriented_ranked_df(edges, num_blocks, n=n)
     n = n_ranked  # pair keys pack against the (tighter) ranked domain
     oriented = oriented.persist()
-    # one pull of the oriented keys -> the shared CSR probe index
-    ktbl = oriented.select((F.col("src") * n + F.col("dst")).alias("k")).toArrow()
-    keys = np.sort(
-        np.asarray(ktbl.column("k").to_numpy(zero_copy_only=False), dtype="int64")
+    # one pull of the oriented edges, SORTED BY SPARK (parallel range
+    # sort — scales with the executor count) → the shared CSR probe
+    # index. The driver does no sort/pack/divide: a single-threaded
+    # np.sort of the pulled keys was a fixed ~6 s Amdahl term at 52M
+    # oriented edges that capped measured 2→8-core scaling at ~0.73.
+    ktbl = (
+        oriented.select("src", "dst").orderBy("src", "dst").toArrow()
     )
     for p in pinned:
         p.unpersist()
-    ptr, dsts = _csr_index(keys, n)
-    del keys
+    ptr, dsts = _csr_index_cols(
+        np.asarray(ktbl.column("src").to_numpy(zero_copy_only=False), dtype="int64"),
+        np.asarray(ktbl.column("dst").to_numpy(zero_copy_only=False), dtype="int64"),
+        n,
+    )
+    del ktbl
 
     ptr_path = dst_path = ptr_b = dst_b = None
     if local_mode:
