@@ -212,8 +212,11 @@ def triangle_count_incore(
 
 #: rank tables at or below this many rows go broadcast into the two
 #: relabel joins (map-side, no shuffle of the big edge table); above it
-#: the joins shuffle — the 100 TB / giant-n path
-BCAST_RANK_MAX = int(os.environ.get("PGB_TRI_BCAST_RANK_MAX", "10000000"))
+#: the joins shuffle — building + shipping a multi-million-row broadcast
+#: hash relation is serial driver work (measured: a 4M-row rank
+#: broadcast cost ~15 s vs parallel shuffle joins at 52M edges), so the
+#: cutoff stays at the size where the build is genuinely cheap
+BCAST_RANK_MAX = int(os.environ.get("PGB_TRI_BCAST_RANK_MAX", "1000000"))
 
 
 def _oriented_ranked_df(edges: DataFrame, num_buckets: int = 32, n: int | None = None):
@@ -285,13 +288,113 @@ def _oriented_ranked_df(edges: DataFrame, num_buckets: int = 32, n: int | None =
     return oriented, n_ranked, [canon, part]
 
 
+def _dump_sorted_index(oriented: DataFrame, n: int, tmpdir: str):
+    """Materialize the shared CSR probe index WITHOUT funnelling the
+    oriented edge set through a driver collect.
+
+    Spark range-sorts (src, dst) in parallel; each output partition then
+    writes its dst column (int32) plus a run-length (src, count) summary
+    straight to ``tmpdir`` (tmpfs locally; on a real cluster this is the
+    shared-filesystem / shuffle-storage equivalent) from inside the task.
+    The driver only stitches: per-partition dst blocks are memcpy'd in
+    partition order into one memmap, and ``ptr`` is a bincount of the
+    concatenated run-lengths (a src whose run straddles a partition
+    boundary appears in both RLEs; bincount sums the pieces). Driver work
+    is O(m) sequential byte copies at page-cache speed — the previous
+    ``toArrow`` collect + column conversion was a fixed ~14 s serial term
+    at 29M oriented edges, identical at every parallelism level, and the
+    single biggest Amdahl cap on measured 2→8-core scaling.
+
+    Returns (ptr_path, dst_path)."""
+    import pyarrow as pa
+    from pyspark import TaskContext
+
+    def dump(batches):
+        pid = TaskContext.get().partitionId()
+        us, vs = [], []
+        for bt in batches:
+            us.append(bt.column("src").to_numpy(zero_copy_only=False))
+            vs.append(bt.column("dst").to_numpy(zero_copy_only=False))
+        cnt = 0
+        if us:
+            u = np.asarray(np.concatenate(us), dtype="int64")
+            v = np.asarray(np.concatenate(vs), dtype="int64")
+            cnt = len(u)
+            dt = "int32" if n <= (1 << 31) - 1 else "int64"
+            # atomic publish (tmp+rename) so a re-run task can't be
+            # observed half-written
+            dtmp = os.path.join(tmpdir, f".dst_{pid:05d}.bin.tmp")
+            v.astype(dt, copy=False).tofile(dtmp)
+            os.rename(dtmp, os.path.join(tmpdir, f"dst_{pid:05d}.bin"))
+            starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+            runs = np.diff(np.r_[starts, cnt]).astype("int64")
+            rtmp = os.path.join(tmpdir, f".rle_{pid:05d}.npz.tmp")
+            with open(rtmp, "wb") as fh:
+                np.savez(fh, srcs=u[starts], runs=runs)
+            os.rename(rtmp, os.path.join(tmpdir, f"rle_{pid:05d}.npz"))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([pid], type=pa.int32()), pa.array([cnt], type=pa.int64())],
+            names=["pid", "cnt"],
+        )
+
+    parts = sorted(
+        (r["pid"], r["cnt"])
+        for r in oriented.select("src", "dst")
+        .orderBy("src", "dst")
+        .mapInArrow(dump, "pid int, cnt long")
+        .collect()
+    )
+    total = sum(c for _, c in parts)
+    dt = "int32" if n <= (1 << 31) - 1 else "int64"
+    dst_path = os.path.join(tmpdir, "dsts.npy")
+    ptr_path = os.path.join(tmpdir, "ptr.npy")
+    mm = np.lib.format.open_memmap(
+        dst_path, mode="w+", dtype=dt, shape=(total,)
+    )
+    counts = np.zeros(n, dtype="int64")
+    off = 0
+    for pid, cnt in parts:
+        if cnt == 0:
+            continue
+        mm[off : off + cnt] = np.fromfile(
+            os.path.join(tmpdir, f"dst_{pid:05d}.bin"), dtype=dt
+        )
+        off += cnt
+        with np.load(os.path.join(tmpdir, f"rle_{pid:05d}.npz")) as z:
+            np.add.at(counts, z["srcs"], z["runs"])
+    mm.flush()
+    del mm
+    ptr = np.zeros(n + 1, dtype="int64")
+    np.cumsum(counts, out=ptr[1:])
+    np.save(ptr_path, ptr)
+    return ptr_path, dst_path
+
+
+def _wedge_balanced_bounds(ptr: np.ndarray, tasks: int) -> np.ndarray:
+    """Pivot-range boundaries splitting total wedge work (Σ d·(d−1)/2)
+    evenly across ``tasks`` — the skew-proof replacement for hashing
+    pivots into blocks (one hub pivot can hold a large share of all
+    wedges; equal-wedge ranges keep every task's work bounded)."""
+    d = np.diff(ptr)
+    w = np.cumsum(d * (d - 1) // 2)
+    total = int(w[-1]) if len(w) else 0
+    if total == 0:
+        return np.array([0, len(d)], dtype="int64")
+    targets = (np.arange(1, tasks) * total) // tasks
+    cuts = np.searchsorted(w, targets, side="left") + 1
+    bounds = np.unique(np.r_[0, cuts, len(d)])
+    return bounds.astype("int64")
+
+
 def triangle_count_blocked(
     edges: DataFrame, n: int, num_blocks: int | None = None
 ) -> int:
-    """Blocked tier: Spark orients in (deg, id)-rank space; each
-    src-block enumerates + closes its wedges with one probe per wedge
-    against one shared CSR index (tmpfs mmap locally, broadcast on a
-    cluster)."""
+    """Blocked tier: Spark orients in (deg, id)-rank space and writes the
+    range-sorted CSR probe index from its own tasks (no driver-funnel
+    collect, see ``_dump_sorted_index``); counting fans out as
+    wedge-balanced pivot ranges, each probing the ONE shared index
+    (tmpfs mmap locally, torrent broadcast on a cluster). Only the
+    boundary table (#tasks rows) ever reaches the driver."""
     import pyarrow as pa
 
     spark = edges.sparkSession
@@ -302,69 +405,74 @@ def triangle_count_blocked(
 
     oriented, n_ranked, pinned = _oriented_ranked_df(edges, num_blocks, n=n)
     n = n_ranked  # pair keys pack against the (tighter) ranked domain
+    # the global sort's range-partitioner SAMPLES its child before the
+    # real exchange — unpersisted, that executes the whole orientation
+    # pipeline twice (measured ~2x dump cost at every level)
     oriented = oriented.persist()
-    # one pull of the oriented edges, SORTED BY SPARK (parallel range
-    # sort — scales with the executor count) → the shared CSR probe
-    # index. The driver does no sort/pack/divide: a single-threaded
-    # np.sort of the pulled keys was a fixed ~6 s Amdahl term at 52M
-    # oriented edges that capped measured 2→8-core scaling at ~0.73.
-    ktbl = (
-        oriented.select("src", "dst").orderBy("src", "dst").toArrow()
-    )
-    for p in pinned:
-        p.unpersist()
-    ptr, dsts = _csr_index_cols(
-        np.asarray(ktbl.column("src").to_numpy(zero_copy_only=False), dtype="int64"),
-        np.asarray(ktbl.column("dst").to_numpy(zero_copy_only=False), dtype="int64"),
-        n,
-    )
-    del ktbl
 
-    ptr_path = dst_path = ptr_b = dst_b = None
+    ptr_path = dst_path = ptr_b = dst_b = tmpdir = None
     if local_mode:
         import tempfile
 
         base = "/dev/shm" if os.path.isdir("/dev/shm") else None
         tmpdir = tempfile.mkdtemp(prefix="pgb_tri_", dir=base)
-        ptr_path = os.path.join(tmpdir, "ptr.npy")
-        dst_path = os.path.join(tmpdir, "dsts.npy")
-        np.save(ptr_path, ptr)
-        np.save(dst_path, dsts)
+        ptr_path, dst_path = _dump_sorted_index(oriented, n, tmpdir)
+        ptr = np.load(ptr_path, mmap_mode="r")
     else:
+        # cluster path: the index must live on the driver once anyway to
+        # broadcast; collect it sorted (parallel range sort, serial pull)
+        ktbl = oriented.select("src", "dst").orderBy("src", "dst").toArrow()
+        ptr, dsts = _csr_index_cols(
+            np.asarray(
+                ktbl.column("src").to_numpy(zero_copy_only=False), dtype="int64"
+            ),
+            np.asarray(
+                ktbl.column("dst").to_numpy(zero_copy_only=False), dtype="int64"
+            ),
+            n,
+        )
+        del ktbl
         ptr_b = sc.broadcast(ptr)
         dst_b = sc.broadcast(dsts)
+    oriented.unpersist()
+    for p in pinned:
+        p.unpersist()
 
-    blocks = oriented.repartition(num_blocks, "src").sortWithinPartitions(
-        "src", "dst"
-    )
+    # wedge-balanced pivot ranges: bounds from ptr alone (driver-cheap),
+    # one Spark task per range, all probing the shared index — the
+    # second full shuffle+sort of the oriented edges is gone
+    bounds = _wedge_balanced_bounds(np.asarray(ptr), num_blocks)
+    ranges = spark.createDataFrame(
+        [(int(bounds[i]), int(bounds[i + 1])) for i in range(len(bounds) - 1)],
+        "lo long, hi long",
+    ).repartition(max(1, len(bounds) - 1))
 
     def count(batches, pp=ptr_path, dp=dst_path, pb=ptr_b, db=dst_b):
         pv = np.load(pp, mmap_mode="r") if pp is not None else pb.value
         dv = np.load(dp, mmap_mode="r") if dp is not None else db.value
-        us, vs = [], []
+        t = 0
         for bt in batches:
-            us.append(bt.column("src").to_numpy(zero_copy_only=False))
-            vs.append(bt.column("dst").to_numpy(zero_copy_only=False))
-        if us:
-            u = np.asarray(np.concatenate(us), dtype="int64")
-            v = np.asarray(np.concatenate(vs), dtype="int64")
-            starts, dst = _segments_from_sorted(u, v)
-            t = _closures_for_segments(dst, starts, pv, dv)
-        else:
-            t = 0
+            for lo, hi in zip(
+                bt.column("lo").to_numpy(zero_copy_only=False),
+                bt.column("hi").to_numpy(zero_copy_only=False),
+            ):
+                base = int(pv[lo])
+                seg = np.asarray(dv[base : int(pv[hi])])
+                starts = np.asarray(pv[lo:hi], dtype="int64") - base
+                t += _closures_for_segments(seg, starts, pv, dv)
         yield pa.RecordBatch.from_arrays(
             [pa.array([t], type=pa.int64())], names=["t"]
         )
 
     try:
-        tbl = blocks.mapInArrow(count, "t long").toArrow()
+        tbl = ranges.mapInArrow(count, "t long").toArrow()
         return int(sum(tbl.column("t").to_pylist()))
     finally:
-        oriented.unpersist()
         for b in (ptr_b, dst_b):
             if b is not None:
                 b.unpersist()
-        if ptr_path is not None:
+        if tmpdir is not None:
             import shutil
 
-            shutil.rmtree(os.path.dirname(ptr_path), ignore_errors=True)
+            del ptr
+            shutil.rmtree(tmpdir, ignore_errors=True)
