@@ -449,3 +449,31 @@ def test_betweenness_incore_matches_join_path(spark, monkeypatch):
     incore = run()
     monkeypatch.setattr(csr_dense, "INCORE_MAX_NNZ", 0)  # force join path
     assert incore == run()
+
+
+def test_wedge_balanced_bounds_properties():
+    # pure-numpy: the pivot-range cuts must tile [0, n) exactly and no
+    # range may carry more than ~(total/tasks + max single-pivot load)
+    # wedges — the hub-skew guarantee hash-blocking could not give
+    from pygraphblas_spark.kernels.tri_csr import _wedge_balanced_bounds
+
+    rng = np.random.RandomState(3)
+    for n, tasks in ((1, 1), (10, 4), (1000, 32), (5000, 7)):
+        deg = rng.zipf(1.8, n).clip(0, 4000)  # heavy-tailed like a hub graph
+        ptr = np.zeros(n + 1, dtype="int64")
+        np.cumsum(deg, out=ptr[1:])
+        b = _wedge_balanced_bounds(ptr, tasks)
+        assert b[0] == 0 and b[-1] == n
+        assert (np.diff(b) > 0).all()  # contiguous, non-empty ranges
+        w = deg.astype("int64") * (deg.astype("int64") - 1) // 2
+        total, biggest = int(w.sum()), int(w.max())
+        loads = [int(w[b[i] : b[i + 1]].sum()) for i in range(len(b) - 1)]
+        assert sum(loads) == total  # every wedge counted exactly once
+        # each range holds at most one "overshoot" pivot beyond its fair share
+        assert max(loads) <= total // tasks + biggest + 1
+
+    # all-zero degrees: single full range, no crash
+    z = np.zeros(12, dtype="int64")
+    ptr0 = np.zeros(13, dtype="int64")
+    b0 = _wedge_balanced_bounds(ptr0, 4)
+    assert b0[0] == 0 and b0[-1] == 12
