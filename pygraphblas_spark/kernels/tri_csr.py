@@ -42,9 +42,15 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: per-chunk wedge budget for the vectorized enumerate (bounds temp
-#: memory to ~16 arrays x 8B x chunk ~= 1GB at the default)
-WEDGE_CHUNK = int(os.environ.get("PGB_TRI_WEDGE_CHUNK", "8000000"))
+#: per-chunk wedge budget for the vectorized enumerate. Small on
+#: purpose: each probe iteration materializes ~10 temporaries of chunk
+#: size, and past ~1M elements those cross glibc's mmap threshold, so
+#: every iteration page-faults + zeroes fresh maps instead of reusing
+#: arena blocks (measured on the 52M-edge probe graph: 262k-chunks beat
+#: 8M-chunks 2.27s vs 3.01s at 8 workers and 8.2s vs 26.1s at 2 —
+#: and restore near-linear thread scaling). 256k x 8B temps stay ~2MB,
+#: inside the allocator's reuse path and the per-core L2/L3 slice.
+WEDGE_CHUNK = int(os.environ.get("PGB_TRI_WEDGE_CHUNK", "262144"))
 
 #: above this many oriented edges the shared key array (8B/edge) stops
 #: being reasonable to ship to every node; callers fall back to the
