@@ -1376,8 +1376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate row. Queries the round-3 gate rotated OUT (green in round 2,
     # unexercised in round 3: pii_redaction..sssp_weighted) lead this
     # round; seven simple round-3-green operator queries with golden
-    # pytest coverage (eadd_union..tril_filter) sit past the cap and
-    # rotate back in next round.
+    # pytest coverage (extract_row + eadd_union..tril_filter) sit past
+    # the cap and rotate back in next round.
     return {
         "stream_cc": stream_cc,
         "pii_redaction": pii_redaction,
@@ -1425,13 +1425,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": ngram_jaccard,
         "kron_product": kron_product,
         "lsh_topk": lsh_topk,
-        "extract_row": extract_row,
+        "contamination": contamination,
         "events_window": events_window,
         "user_sessions": user_sessions,
         "simhash_near_dups": simhash_near_dups,
-        "contamination": contamination,
         # --- past the ~50 gate cap this round (green in round 3's gate,
         # golden pytest coverage; rotate back in next round) ---
+        "extract_row": extract_row,
         "eadd_union": eadd_union,
         "emult_intersection": emult_intersection,
         "select_gt": select_gt,

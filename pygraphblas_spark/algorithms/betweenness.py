@@ -188,7 +188,13 @@ def betweenness_centrality(
                     {"wave": wv, "n_waves": n_waves, "empty": part is None},
                 )
                 if ckpt.on_cadence(wv):
-                    bc = saved["bc"]
+                    # swap to the durably-reloaded total; release the
+                    # superseded localCheckpoint so executor storage
+                    # holds one wave total, not one per cadence hit
+                    reloaded = saved["bc"]
+                    if bc is not None and reloaded is not bc:
+                        release_state(bc)
+                    bc = reloaded
             if bc is None:
                 bc = verts.select("id", F.lit(0.0).alias("bc"))
             bc = verts.join(bc, "id", "left_outer").select(

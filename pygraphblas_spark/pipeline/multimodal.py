@@ -336,16 +336,23 @@ def _png_decode_stdlib(data: bytes):
 
 def _decode_image(data: bytes):
     """(h, w) float grayscale in [0,1]: PIL when importable (any format),
-    else the stdlib PNG decoder above."""
+    else the stdlib PNG decoder above.
+
+    Both paths reduce color to the UNWEIGHTED channel mean (alpha
+    excluded) — PIL's ``convert("L")`` would apply ITU-R 601 luma
+    weights and make features depend on which decoder the container
+    happens to have, so the PIL path decodes to RGB and applies the
+    stdlib formula instead."""
     try:
         import io
 
         import numpy as np
         from PIL import Image  # import-gated: optional dependency
 
-        return np.asarray(
-            Image.open(io.BytesIO(data)).convert("L"), dtype="float32"
-        ) / 255.0
+        px = np.asarray(
+            Image.open(io.BytesIO(data)).convert("RGB"), dtype="float32"
+        )
+        return px.mean(axis=2) / 255.0
     except ImportError:
         return _png_decode_stdlib(data)
 

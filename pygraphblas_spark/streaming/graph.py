@@ -336,15 +336,28 @@ def compact_state(
     resolved.unpersist()
 
     fs, P = _fs(spark, state_root)
+
+    def _must(ok: bool, step: str) -> None:
+        # Hadoop FileSystem.rename/delete signal failure by RETURNING
+        # false (no exception). An unchecked false rename(base, base_old)
+        # would make the next rename nest base_new INSIDE the still-
+        # existing base and then delete the delta log — silent state
+        # loss. Abort instead; every pre-delta-delete crash point leaves
+        # a readable snapshot (base or base_old) plus the intact delta.
+        if not ok:
+            raise IOError(f"compact_state: {step} failed (returned false)")
+
     base, base_old = f"{state_root}/base", f"{state_root}/base_old"
     if fs.exists(P(base)):
         if fs.exists(P(base_old)):
-            fs.delete(P(base_old), True)
-        fs.rename(P(base), P(base_old))
-    fs.rename(P(tmp), P(base))
-    fs.delete(P(f"{state_root}/delta"), True)
+            _must(fs.delete(P(base_old), True), f"delete stale {base_old}")
+        _must(fs.rename(P(base), P(base_old)), f"rename {base} -> {base_old}")
+    _must(fs.rename(P(tmp), P(base)), f"rename {tmp} -> {base}")
+    delta = f"{state_root}/delta"
+    if fs.exists(P(delta)):  # absent when compacting a delta-less base
+        _must(fs.delete(P(delta), True), "delete folded delta")
     if fs.exists(P(base_old)):
-        fs.delete(P(base_old), True)
+        _must(fs.delete(P(base_old), True), f"delete {base_old}")
 
 
 def incremental_components_maintenance(
@@ -374,6 +387,11 @@ def incremental_components_maintenance(
         if touched is None:
             changed = components_batch(e, None)
         else:
+            # materialize the affected-set-sized read ONCE: ``touched``
+            # feeds star edges, the vertex set, and the CC loop — without
+            # this each action re-runs the bucket-pruned base scans +
+            # delta resolve (the I/O the pruning exists to minimize)
+            touched = touched.localCheckpoint(eager=True)
             changed = _recompute_touched(e, batch_verts, touched)
         changed.select(
             "id", "component", F.lit(batch_id).cast("long").alias("seq")

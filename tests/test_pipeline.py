@@ -473,6 +473,31 @@ def test_pil_path_matches_stdlib_decoder():
     data = png_bytes(33, 21, full_raster=True)
     assert np.allclose(_decode_image(data), _png_decode_stdlib(data), atol=1e-6)
 
+    # COLOR raster: PIL's convert("L") applies ITU-R 601 luma weights and
+    # would diverge from the stdlib channel mean (pure red: 0.299 vs 1/3);
+    # _decode_image must apply the same unweighted mean on both paths.
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(px.shape[0]))
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", px.shape[1], px.shape[0], 8, 2, 0, 0, 0)
+    color = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    want = px.astype("float32").mean(axis=2) / 255.0
+    assert np.allclose(_decode_image(color), want, atol=1e-6)
+    assert np.allclose(_png_decode_stdlib(color), want, atol=1e-6)
+
 
 def test_winnowing_fingerprints(spark):
     """Winnowing guarantee: documents sharing a long substring share at
