@@ -572,6 +572,45 @@ monoid("LOGADD", _logsumexp_agg, float("-inf"), binary_op("LOGADD", _logaddexp))
 semiring("LOGADD_PLUS", "LOGADD", "PLUS", lambda a, b: _logsumexp_agg(a + b))
 
 
+def _logsumexp_stable_agg(c: Column) -> Column:
+    """Grouped ⊕ for LOGADD_STABLE: max-shifted ``m + log(Σ exp(x−m))``,
+    exact for ANY double log-space values (no overflow at x > ~709).
+
+    A SQL aggregate cannot nest the group max, so this runs as an
+    Arrow-batched grouped-agg pandas UDF — vectorized numpy per group,
+    but NO map-side partial aggregation, so each group's values shuffle
+    to one reducer. Opt-in (``LOGADD_STABLE`` / ``LOGADD_STABLE_PLUS``)
+    for callers outside the log-probability domain; the default LOGADD
+    stays the single-pass codegen aggregate."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _lse(v):
+        a = v.to_numpy(dtype="float64")
+        m = np.max(a)  # NaN propagates, matching log(sum(exp(x)))
+        if not np.isfinite(m):  # all -inf -> -inf; +inf/NaN propagate
+            return float(m)
+        return float(m + np.log(np.sum(np.exp(a - m))))
+
+    # explicit functionType: the module's postponed annotations would
+    # stringify pd.Series hints and break pandas_udf's hint resolver
+    return pandas_udf(_lse, "double", PandasUDFType.GROUPED_AGG)(c)
+
+
+monoid(
+    "LOGADD_STABLE",
+    _logsumexp_stable_agg,
+    float("-inf"),
+    binary_op("LOGADD_STABLE", _logaddexp),
+)
+semiring(
+    "LOGADD_STABLE_PLUS",
+    "LOGADD_STABLE",
+    "PLUS",
+    lambda a, b: _logsumexp_stable_agg(a + b),
+)
+
+
 # --------------------------------------------------------------------------
 # Select ops  (reference: pygraphblas/selectop.py:57-74)
 # --------------------------------------------------------------------------

@@ -64,3 +64,34 @@ def test_logadd_monoid_pairwise_combine():
     # pairwise logaddexp through the registered binop: log(e^a + e^b)
     op = binary_op("LOGADD")
     assert op is m.combine
+
+
+def test_logadd_stable_matches_fast_in_domain(spark):
+    """LOGADD_STABLE_PLUS (Arrow-batched max-shifted UDAF) agrees with
+    the codegen LOGADD_PLUS on log-probability values, and stays finite
+    on large log-space values (x > 709) where exp overflows the fast
+    path to inf."""
+    import math
+
+    I = [i for i, _, _ in _PROBS]
+    J = [j for _, j, _ in _PROBS]
+    V = [math.log(p) for _, _, p in _PROBS]
+    A = Matrix.from_lists(spark, I, J, V, 6, 6)
+    fast = A.mxm(A, semiring="LOGADD_PLUS").to_lists()
+    stable = A.mxm(A, semiring="LOGADD_STABLE_PLUS").to_lists()
+    assert fast[0] == stable[0] and fast[1] == stable[1]
+    for x, y in zip(fast[2], stable[2]):
+        assert math.isclose(x, y, rel_tol=1e-12, abs_tol=1e-12)
+
+    # out-of-domain: two 2-step paths with log-weights ~ 500 each →
+    # cell log-value ~1000; exp(1000) overflows the unshifted aggregate
+    big = Matrix.from_lists(
+        spark, [0, 0, 1, 2], [1, 2, 3, 3], [500.0, 500.5, 499.0, 500.0], 4, 4
+    )
+    f_i, f_j, f_v = big.mxm(big, semiring="LOGADD_PLUS").to_lists()
+    f = dict(zip(zip(f_i, f_j), f_v))
+    s_i, s_j, s_v = big.mxm(big, semiring="LOGADD_STABLE_PLUS").to_lists()
+    s = dict(zip(zip(s_i, s_j), s_v))
+    want = 999.0 + math.log(math.exp(0.0) + math.exp(1.5))  # logaddexp(999, 1000.5)
+    assert math.isinf(f[(0, 3)])                    # fast path overflows
+    assert math.isclose(s[(0, 3)], want, rel_tol=1e-12)  # stable is exact
