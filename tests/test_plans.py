@@ -68,3 +68,45 @@ def test_tfidf_no_hot_term_window(spark):
     for ln in win_lines:
         # partition spec is the second bracketed list: Window [exprs], [part], [order]
         assert "doc_id" in ln, f"Window not partitioned by doc id: {ln}"
+
+
+def test_incremental_dedup_no_corpus_side_shingles(spark):
+    """The vs-corpus near-dup verify must evaluate its shingle
+    expressions INLINE on the joined candidate pairs, never as a
+    Project on the corpus relation: a shingle Project sits BELOW the
+    join and recomputes shingles for EVERY stored doc every
+    micro-batch — O(state) CPU per batch, quadratic over the stream's
+    life (measured ~8x/batch degradation at a 150k-doc corpus before
+    the fix)."""
+    from pygraphblas_spark.pipeline.dedup import minhash_band_buckets
+    from pygraphblas_spark.streaming.dedup import dedup_batch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    # the stored corpus carries (doc_id, norm_sha, text) — mirror it
+    corpus = docs.filter(F.col("doc_id") < 40).withColumn(
+        "norm_sha", F.sha2(F.col("text"), 256)
+    )
+    batch = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 80))
+    accepted = dedup_batch(
+        batch,
+        corpus_docs=corpus,
+        corpus_buckets=minhash_band_buckets(corpus),
+    )
+    plan = _plan(accepted)
+    # The vs-corpus verify is the join keyed on old_id. Its Jaccard
+    # condition must compute the shingles INLINE (the normalized-split
+    # expression appears in the condition itself): the defective shape
+    # referenced pre-projected array columns (sh_b#N) instead, and that
+    # projection sat on the corpus relation below the join. The rule-3
+    # intra-batch verify (keyed on id_b) may keep its projections —
+    # both of its sides are batch-sized.
+    verify_lines = [
+        ln for ln in plan.splitlines()
+        if "array_intersect" in ln and "old_id" in ln
+    ]
+    assert verify_lines, "vs-corpus verify join not found in the plan"
+    for ln in verify_lines:
+        assert "split(regexp_replace(lower(trim(" in ln, (
+            f"corpus-side shingles pre-projected below the verify join "
+            f"(O(state) CPU per micro-batch): {ln.strip()[:200]}"
+        )
