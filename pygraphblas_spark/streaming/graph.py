@@ -22,27 +22,39 @@ updates it incrementally per micro-batch:
 State persistence is LSM-shaped and **bucket-pruned** so the per-batch
 READ and WRITE are both ∝ the affected set, not total state:
 
-- ``state_root/base`` holds the last compacted snapshot in a DUAL
-  layout: ``base/byid`` hash-partitioned into ``N_STATE_BUCKETS``
-  directories on the id (vertex → component lookups prune to the
-  batch's id-buckets) and ``base/bycomp`` partitioned on the component
-  (member expansion of an affected component prunes to its
-  comp-buckets). Both are written from one resolved snapshot in the
-  same compaction, so they are mutually consistent.
+- ``state_root/base/byid`` holds the last compacted snapshot,
+  hash-partitioned into ``N_STATE_BUCKETS`` directories on the id
+  (vertex → component lookups prune to the batch's id-buckets).
+- ``state_root/base/compidx`` is a compact index of distinct
+  ``(component, id-bucket)`` pairs, partitioned on the component's
+  hash bucket ``cb``. Member expansion of an affected component
+  resolves component → id-buckets through the index, then reads only
+  those ``byid`` buckets — the same pruning a second full
+  component-partitioned copy of the state would give, at ≤ one row
+  per (component, bucket) pair instead of a second full-state write
+  per compaction (writes are the non-scaling resource on shared
+  disks; halving compaction write volume is what keeps the
+  maintenance loop inside the ≥0.8 N→4N envelope).
 - ``state_root/delta`` accumulates per-batch changed rows stamped with
   a monotone ``seq``; it is flat (unbucketed) but its size is bounded
   by the compaction cadence, so resolving it fully per batch is
   O(changes-since-last-compaction), not O(state).
-- ``batch_affected_state`` combines the two: the only base partitions
-  scanned are the id-buckets of the batch's vertices plus the
-  comp-buckets of the affected components (Spark partition pruning on
-  the directory column — the reads pass an explicit schema so not even
+- ``batch_affected_state`` combines the three: the only base
+  partitions scanned are the id-buckets of the batch's vertices, the
+  compidx cb-buckets of the affected components, and the id-buckets
+  the index maps those components to (Spark partition pruning on the
+  directory column — the reads pass an explicit schema so not even
   parquet footers outside those buckets are opened). Delta rows
   supersede base rows per id (anti-join on the small resolved delta).
 
-Compaction (``compact_state``) folds base+delta into a fresh dual
-snapshot with a crash-safe swap: write ``base_new`` completely, rename
-``base`` → ``base_old``, rename ``base_new`` → ``base``, delete
+Resolving base+delta (``read_state``, compaction) never shuffles the
+base: the delta alone is last-writer-wins-reduced (small — bounded by
+compaction cadence), then the base is anti-joined against it — with
+AQE that is a broadcast anti-join, i.e. a pure scan of the snapshot.
+
+Compaction (``compact_state``) folds base+delta into a fresh
+snapshot+index with a crash-safe swap: write ``base_new`` completely,
+rename ``base`` → ``base_old``, rename ``base_new`` → ``base``, delete
 ``delta``, delete ``base_old``. A crash between any two steps leaves
 either ``base`` or ``base_old`` live (readers fall back to
 ``base_old`` when ``base`` is missing), and the delta log is only
@@ -71,7 +83,7 @@ from pygraphblas_spark.streaming.core import stream_edges_from_files
 N_STATE_BUCKETS = 64
 
 _BYID_SCHEMA = "id long, component long, b int"
-_BYCOMP_SCHEMA = "id long, component long, cb int"
+_COMPIDX_SCHEMA = "component long, b int, cb int"
 
 #: Introspection for tests/metrics: the bucket lists the last
 #: ``batch_affected_state`` call actually scanned (None = no base).
@@ -186,25 +198,27 @@ def _local_cc(edges: DataFrame, verts: DataFrame) -> DataFrame:
 
 def read_state(spark: SparkSession, state_root: str) -> DataFrame | None:
     """Resolve the FULL current state: base snapshot + last-writer-wins
-    deltas. O(state) — for final reads, compaction, and oracles; the
-    per-batch path is ``batch_affected_state`` (bucket-pruned)."""
+    deltas. O(state) SCAN — for final reads, compaction, and oracles;
+    the per-batch path is ``batch_affected_state`` (bucket-pruned).
+
+    Only the delta (bounded by compaction cadence) is shuffled for its
+    last-writer-wins reduce; the base is anti-joined against that small
+    result (AQE broadcast — no base shuffle), never aggregated."""
     base = _live_base(spark, state_root)
     delta = _read_delta(spark, state_root)
     if base is None and delta is None:
         return None
-    parts = []
-    if base is not None:
-        parts.append(
-            spark.read.schema(_BYID_SCHEMA)
-            .parquet(f"{base}/byid")
-            .select("id", "component", F.lit(-1).cast("long").alias("seq"))
-        )
-    if delta is not None:
-        parts.append(delta)
-    allrows = parts[0]
-    for p in parts[1:]:
-        allrows = allrows.unionByName(p)
-    return _resolve(allrows)
+    delta_res = _resolve(delta) if delta is not None else None
+    if base is None:
+        return delta_res
+    base_rows = (
+        spark.read.schema(_BYID_SCHEMA)
+        .parquet(f"{base}/byid")
+        .select("id", "component")
+    )
+    if delta_res is None:
+        return base_rows
+    return base_rows.join(delta_res, "id", "left_anti").unionByName(delta_res)
 
 
 def batch_affected_state(
@@ -216,12 +230,14 @@ def batch_affected_state(
     """Current ``(id, component)`` rows of every component touched by
     ``batch_verts``, reading only:
 
-    - the resolved delta log (≤ changes since last compaction), and
-    - the base id-buckets of the batch's vertices plus the base
-      comp-buckets of the affected components (partition-pruned).
+    - the resolved delta log (≤ changes since last compaction),
+    - the base id-buckets of the batch's vertices,
+    - the compidx cb-buckets of the affected components, and
+    - the base id-buckets the index maps those components to
+      (all partition-pruned).
 
     Per-batch read/shuffle is therefore ∝ affected set + compaction
-    cadence — NOT total state. The two ``.collect()`` calls gather only
+    cadence — NOT total state. The ``.collect()`` calls gather only
     distinct bucket ids (≤ ``n_buckets`` ints each, the literal values
     the partition-pruning filter needs). Returns None when no state
     exists yet; otherwise one row per member id of an affected
@@ -266,7 +282,8 @@ def batch_affected_state(
         cur = cur.unionByName(p)
     affected = cur.select("component").distinct().localCheckpoint()
 
-    # --- all members of the affected components
+    # --- all members of the affected components: component → id-bucket
+    # through the compact index, then the pruned byid buckets
     member_parts = []
     if base is not None:
         cbkts = sorted(
@@ -279,23 +296,38 @@ def batch_affected_state(
         )
         last_batch_read_info["comp_buckets"] = cbkts
         if cbkts:
-            bycomp = (
-                spark.read.schema(_BYCOMP_SCHEMA)
-                .parquet(f"{base}/bycomp")
+            idx = (
+                spark.read.schema(_COMPIDX_SCHEMA)
+                .parquet(f"{base}/compidx")
                 .filter(F.col("cb").isin(cbkts))
             )
-            m = bycomp.join(affected, "component", "left_semi").select(
-                "id", "component"
+            mbkts = sorted(
+                r["b"]
+                for r in idx.join(affected, "component", "left_semi")
+                .select("b")
+                .distinct()
+                .collect()
             )
-            if delta_res is not None:
-                m = m.join(delta_res, "id", "left_anti")
-            member_parts.append(m)
+            last_batch_read_info["member_buckets"] = mbkts
+            if mbkts:
+                m = (
+                    spark.read.schema(_BYID_SCHEMA)
+                    .parquet(f"{base}/byid")
+                    .filter(F.col("b").isin(mbkts))
+                    .join(affected, "component", "left_semi")
+                    .select("id", "component")
+                )
+                if delta_res is not None:
+                    m = m.join(delta_res, "id", "left_anti")
+                member_parts.append(m)
     if delta_res is not None:
         member_parts.append(
             delta_res.join(affected, "component", "left_semi").select(
                 "id", "component"
             )
         )
+    if not member_parts:  # batch verts all new — nothing affected
+        return spark.createDataFrame([], "id long, component long")
     out = member_parts[0]
     for p in member_parts[1:]:
         out = out.unionByName(p)
@@ -305,15 +337,18 @@ def batch_affected_state(
 def compact_state(
     spark: SparkSession, state_root: str, n_buckets: int = N_STATE_BUCKETS
 ) -> None:
-    """Fold deltas into a fresh dual-bucketed base snapshot (called on a
-    maintenance cadence; per-batch reads/writes stay ∝ affected size +
-    delta size between compactions).
+    """Fold deltas into a fresh bucketed snapshot + component index
+    (called on a maintenance cadence; per-batch reads/writes stay ∝
+    affected size + delta size between compactions). One full-state
+    write (``byid``) plus the ≤ one-row-per-(component, bucket) index
+    — the resolve itself is shuffle-free on the base (see
+    ``read_state``), so compaction cost is scan + one bucketed write.
 
     Crash-safe swap ordering — ``base_new`` is complete and durable
     before anything existing moves, and the live snapshot is always
     reachable as ``base`` or ``base_old``:
 
-    1. write ``base_new/{byid,bycomp}``
+    1. write ``base_new/{byid,compidx}``
     2. delete a stale ``base_old`` (only when ``base`` also exists —
        i.e. the previous compaction completed past step 4)
     3. rename ``base`` → ``base_old``
@@ -325,14 +360,19 @@ def compact_state(
     resolved = read_state(spark, state_root)
     if resolved is None:
         return
-    resolved = resolved.persist()
+    resolved = resolved.withColumn("b", _bucket_of("id", n_buckets)).persist()
     tmp = f"{state_root}/base_new"
-    resolved.withColumn("b", _bucket_of("id", n_buckets)).write.partitionBy(
-        "b"
-    ).mode("overwrite").parquet(f"{tmp}/byid")
-    resolved.withColumn(
-        "cb", _bucket_of("component", n_buckets)
-    ).write.partitionBy("cb").mode("overwrite").parquet(f"{tmp}/bycomp")
+    resolved.write.partitionBy("b").mode("overwrite").parquet(f"{tmp}/byid")
+    # the index aggregates map-side: only distinct (component, bucket)
+    # pairs ever shuffle — ≤ n_buckets rows per component
+    (
+        resolved.select("component", "b")
+        .distinct()
+        .withColumn("cb", _bucket_of("component", n_buckets))
+        .write.partitionBy("cb")
+        .mode("overwrite")
+        .parquet(f"{tmp}/compidx")
+    )
     resolved.unpersist()
 
     fs, P = _fs(spark, state_root)

@@ -197,7 +197,7 @@ def test_batch_read_is_bucket_pruned(spark, tmp_path):
                     fh.write(b"not a parquet file")
 
     corrupt("byid", "b", b_id_bk - a_id_bk)
-    corrupt("bycomp", "cb", b_cb - a_cb)
+    corrupt("compidx", "cb", b_cb - a_cb)
 
     bv = spark.createDataFrame([(3,)], "id long")
     got = sg.batch_affected_state(spark, state_root, bv, n_buckets=nb)
@@ -207,6 +207,9 @@ def test_batch_read_is_bucket_pruned(spark, tmp_path):
     assert set(sg.last_batch_read_info["id_buckets"]) <= a_id_bk | b_id_bk
     assert not (set(sg.last_batch_read_info["id_buckets"]) & (b_id_bk - a_id_bk))
     assert set(sg.last_batch_read_info["comp_buckets"]) == a_cb
+    # member expansion resolves comp→buckets through the index and reads
+    # exactly component A's id-buckets
+    assert set(sg.last_batch_read_info["member_buckets"]) == a_id_bk
 
 
 def test_retried_batch_append_is_idempotent(spark, tmp_path):
