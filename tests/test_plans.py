@@ -110,3 +110,39 @@ def test_incremental_dedup_no_corpus_side_shingles(spark):
             f"corpus-side shingles pre-projected below the verify join "
             f"(O(state) CPU per micro-batch): {ln.strip()[:200]}"
         )
+
+
+def test_stream_cc_base_resolve_is_shuffle_free(spark, tmp_path):
+    """Resolving base+delta state (read_state, compaction) must never
+    shuffle the base snapshot: only the cadence-bounded delta is
+    last-writer-wins-reduced; the base is anti-joined against that
+    small result as a BROADCAST join. The defective shape unioned
+    base+delta and ran the groupBy(max seq) resolve over the whole
+    state — a full-state shuffle per compaction (and per oracle read)
+    that throttled the maintenance loop's N->4N scaling."""
+    from pygraphblas_spark.streaming.graph import compact_state, read_state
+
+    state = str(tmp_path / "state")
+    rows = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 97).alias("component"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    rows.write.mode("append").parquet(f"{state}/delta")
+    compact_state(spark, state)  # -> base/{byid,compidx}, no delta
+    spark.range(0, 50).select(
+        "id", F.lit(0).cast("long").alias("component"),
+        F.lit(1).cast("long").alias("seq"),
+    ).write.mode("append").parquet(f"{state}/delta")
+
+    resolved = read_state(spark, state)
+    resolved.collect()  # finalize the adaptive plan
+    plan = _plan(resolved)
+    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti_lines, "base-vs-delta anti join not found in the plan"
+    for ln in anti_lines:
+        assert "BroadcastHashJoin" in ln, (
+            f"base anti-joined via a shuffle join (full-state exchange "
+            f"at 10^12-file scale): {ln.strip()}"
+        )
+    # and the byid snapshot never feeds an aggregate (the old shape)
+    assert "SortMergeJoin" not in plan
