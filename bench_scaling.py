@@ -193,6 +193,15 @@ import glob, json, os, shutil, sys, tempfile, time
 cores, edge_root, docs_root, reps, compact_every = (
     sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4]), int(sys.argv[5]))
 os.environ["SPARK_GRAFT_CPUS"] = cores
+# Cluster-shaped plan: the in-core driver loop is a local-mode-only
+# shortcut (gated on eng.local_mode — it cannot exist on a real
+# cluster) and its single-threaded numpy iteration is core-count-
+# independent, so with it enabled an N->4N probe measures driver
+# speed, not the engine's scaling. Disable it so the per-batch local
+# CC runs the blocked distributed kernel — the plan local_mode=False
+# executes. (bench.py's absolute numbers keep the shortcut: it IS the
+# right plan for a single box; this probe is the cluster proxy.)
+os.environ["PGB_INCORE_MAX_NNZ"] = "0"
 from pygraphblas_spark.session import get_spark
 from pygraphblas_spark.streaming.graph import (
     incremental_components_maintenance, compact_state, read_state)
@@ -269,7 +278,10 @@ def _code_tag(kind: str) -> str:
     """Version tag for the code a probe's performance depends on: floors
     are only merged across runs of identical code (a stale faster floor
     from pre-regression code must not mask the regression), but unrelated
-    commits — report wording, other modules — keep recorded floors valid."""
+    commits — report wording, other modules — keep recorded floors valid.
+    The probe script itself is part of the tag: a probe change (env
+    knobs, measurement protocol, workload shape) changes what a floor
+    means, so pre-change floors must not merge either."""
     import hashlib
 
     pkg = os.path.join(REPO, "pygraphblas_spark")
@@ -291,6 +303,11 @@ def _code_tag(kind: str) -> str:
     for f in files:
         with open(os.path.join(pkg, f), "rb") as fh:
             h.update(fh.read())
+    h.update(
+        {"graph": PROBE, "pipeline": PIPE_PROBE, "streaming": STREAM_PROBE}[
+            kind
+        ].encode()
+    )
     return h.hexdigest()[:12]
 
 
@@ -575,12 +592,20 @@ def main():
                     help="measure only the pipeline tier")
     ap.add_argument("--skip-streaming", action="store_true",
                     help="skip the streaming-maintenance tier")
-    ap.add_argument("--stream-edge-batches", type=int, default=6)
-    ap.add_argument("--stream-edges-per-batch", type=int, default=500_000)
+    ap.add_argument("--stream-edge-batches", type=int, default=4)
+    # batch size picked so the distributed per-batch compute dominates
+    # the per-micro-batch fixed costs (query planning, checkpoint
+    # commits, driver collects) — at 500k edges/batch those fixed costs
+    # cap measurable speedup regardless of how well the plan scales
+    ap.add_argument("--stream-edges-per-batch", type=int, default=1_500_000)
     ap.add_argument("--stream-doc-batches", type=int, default=4)
     ap.add_argument("--stream-docs-per-batch", type=int, default=50_000)
     ap.add_argument("--stream-compact-every", type=int, default=2,
                     help="compaction cadence (micro-batches) for stream_cc")
+    ap.add_argument("--stream-reps", type=int, default=3,
+                    help="reps per streaming probe level (floors from "
+                         "separate invocations merge, so a short first "
+                         "pass can be tightened by later runs)")
     ap.add_argument("--append-streaming", action="store_true",
                     help="keep the existing report's graph/pipeline sections "
                          "(reloaded from its embedded Raw JSON) and refresh "
@@ -897,6 +922,14 @@ def main():
             "watched directory, and runs the availableNow maintenance",
             "per batch (timing includes all state reads/writes and, for",
             f"stream_cc, compaction every {args.stream_compact_every} batches).",
+            "",
+            "The probe disables the in-core driver shortcut",
+            "(`PGB_INCORE_MAX_NNZ=0`) so per-batch local CC runs the",
+            "blocked distributed kernel — the plan a real cluster",
+            "(local_mode=False) executes. The shortcut is a local-mode-",
+            "only optimization whose single-threaded numpy loop is",
+            "core-count-independent; with it enabled an N→4N probe",
+            "measures driver speed, not the engine's scaling.",
             "",
             f"- `stream_cc`: incremental connected components over"
             f" {s_low['edges']:,} streamed edges in"

@@ -362,13 +362,25 @@ def compact_state(
         return
     resolved = resolved.withColumn("b", _bucket_of("id", n_buckets)).persist()
     tmp = f"{state_root}/base_new"
-    resolved.write.partitionBy("b").mode("overwrite").parquet(f"{tmp}/byid")
+    # repartition on the bucket key before the partitioned write: the
+    # resolve upstream is a compacted-snapshot scan that coalesces to a
+    # handful of maxPartitionBytes-bound partitions, so without it the
+    # full-state write runs on ~that many tasks regardless of cores
+    # (and every task sprays ≤ n_buckets small files). Hash-partitioned
+    # on b the write is n_buckets parallel tasks, one file per bucket.
+    (
+        resolved.repartition(n_buckets, "b")
+        .write.partitionBy("b")
+        .mode("overwrite")
+        .parquet(f"{tmp}/byid")
+    )
     # the index aggregates map-side: only distinct (component, bucket)
     # pairs ever shuffle — ≤ n_buckets rows per component
     (
         resolved.select("component", "b")
         .distinct()
         .withColumn("cb", _bucket_of("component", n_buckets))
+        .repartition(n_buckets, "cb")
         .write.partitionBy("cb")
         .mode("overwrite")
         .parquet(f"{tmp}/compidx")
