@@ -632,9 +632,20 @@ def main():
         p_low, p_high = rec.get("pipeline_low"), rec.get("pipeline_high")
         s_low = s_high = None
         if os.path.exists(RUNS_LOG):
+            # only records of the CURRENT probe design and workload may
+            # stand in for a measurement — a stale record (older code
+            # tag, different batch sizing) silently rendering as "the"
+            # result would defeat the whole code-tag discipline
+            want_edges = args.stream_edge_batches * args.stream_edges_per_batch
+            tag = _code_tag("streaming")
             runs = [json.loads(l) for l in open(RUNS_LOG) if l.strip()]
             for r in runs:
-                if r.get("kind") == "streaming" and len(r["algos"]) >= 2:
+                if (
+                    r.get("kind") == "streaming"
+                    and len(r["algos"]) >= 2
+                    and r.get("code_tag") == tag
+                    and r["edges"] == want_edges
+                ):
                     if r["cores"] == args.low:
                         s_low = _merge_runs(r)
                     elif r["cores"] == args.high:
@@ -646,12 +657,12 @@ def main():
             )
             if s_low is None:
                 s_low = run_stream_probe(
-                    args.low, e_root, d_root,
+                    args.low, e_root, d_root, reps=args.stream_reps,
                     compact_every=args.stream_compact_every,
                 )
             if s_high is None:
                 s_high = run_stream_probe(
-                    args.high, e_root, d_root,
+                    args.high, e_root, d_root, reps=args.stream_reps,
                     compact_every=args.stream_compact_every,
                 )
         path = os.path.join(DATA_DIR, f"edges_{_tag(args.files)}.parquet")
@@ -661,12 +672,14 @@ def main():
         def latest_for(cores, kind="graph", min_algos=3):
             # latest FULL run of this kind (partial records — e.g. a
             # single-algorithm re-probe appended to tighten one floor —
-            # only feed the merge)
+            # only feed the merge); records from an older probe design
+            # (different code tag) are not re-renderable results
             cands = [
                 r for r in runs
                 if r["cores"] == cores
                 and r.get("kind", "graph") == kind
                 and len(r["algos"]) >= min_algos
+                and r.get("code_tag") == _code_tag(kind)
             ]
             return _merge_runs(cands[-1]) if cands else None
 
@@ -705,10 +718,12 @@ def main():
                 args.stream_doc_batches, args.stream_docs_per_batch,
             )
             s_low = run_stream_probe(
-                args.low, e_root, d_root, compact_every=args.stream_compact_every
+                args.low, e_root, d_root, reps=args.stream_reps,
+                compact_every=args.stream_compact_every,
             )
             s_high = run_stream_probe(
-                args.high, e_root, d_root, compact_every=args.stream_compact_every
+                args.high, e_root, d_root, reps=args.stream_reps,
+                compact_every=args.stream_compact_every,
             )
         if r_low is None:  # graph skipped: pull latest recorded for report
             runs = [json.loads(l) for l in open(RUNS_LOG) if l.strip()]
@@ -724,16 +739,26 @@ def main():
                 raise SystemExit("--skip-graph needs recorded graph runs")
         if p_low is None:  # pipeline skipped: latest recorded, if any
             runs = [json.loads(l) for l in open(RUNS_LOG) if l.strip()]
+            tag = _code_tag("pipeline")
             for r in runs:
-                if r.get("kind") == "pipeline" and len(r["algos"]) >= 2:
+                if (
+                    r.get("kind") == "pipeline"
+                    and len(r["algos"]) >= 2
+                    and r.get("code_tag") == tag
+                ):
                     if r["cores"] == args.low:
                         p_low = _merge_runs(r)
                     elif r["cores"] == args.high:
                         p_high = _merge_runs(r)
         if s_low is None:  # streaming skipped: latest recorded, if any
             runs = [json.loads(l) for l in open(RUNS_LOG) if l.strip()]
+            tag = _code_tag("streaming")
             for r in runs:
-                if r.get("kind") == "streaming" and len(r["algos"]) >= 2:
+                if (
+                    r.get("kind") == "streaming"
+                    and len(r["algos"]) >= 2
+                    and r.get("code_tag") == tag
+                ):
                     if r["cores"] == args.low:
                         s_low = _merge_runs(r)
                     elif r["cores"] == args.high:
