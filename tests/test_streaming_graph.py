@@ -100,6 +100,20 @@ def test_streaming_end_to_end_with_compaction(spark, tmp_path):
     after = {r["id"]: r["component"] for r in read_state(spark, state_root).collect()}
     assert after == want
 
+    # write-parallelism layout: the snapshot is hash-repartitioned on
+    # the bucket key before the partitioned write, so each bucket dir
+    # holds exactly ONE file (written by its own task) — without the
+    # repartition the write runs on however few partitions the resolve
+    # scan coalesced to, each spraying a small file into every dir
+    import glob
+
+    for sub, key in (("byid", "b"), ("compidx", "cb")):
+        dirs = glob.glob(f"{state_root}/base/{sub}/{key}=*")
+        assert dirs, f"no bucket dirs under {sub}"
+        for d in dirs:
+            files = glob.glob(f"{d}/*.parquet")
+            assert len(files) == 1, f"{d}: {len(files)} files (want 1)"
+
 
 def test_compaction_crash_fallback_and_heal(spark, tmp_path):
     """Crash-safety of the compaction swap (ADVICE): if a crash strands
