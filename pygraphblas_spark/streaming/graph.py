@@ -429,25 +429,35 @@ def incremental_components_maintenance(
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        e = batch.select("src", "dst")
-        batch_verts = (
-            e.select(F.col("src").alias("id"))
-            .unionByName(e.select(F.col("dst").alias("id")))
-            .distinct()
-        )
-        touched = batch_affected_state(sess, state_root, batch_verts, n_buckets)
-        if touched is None:
-            changed = components_batch(e, None)
-        else:
-            # materialize the affected-set-sized read ONCE: ``touched``
-            # feeds star edges, the vertex set, and the CC loop — without
-            # this each action re-runs the bucket-pruned base scans +
-            # delta resolve (the I/O the pruning exists to minimize)
-            touched = touched.localCheckpoint(eager=True)
-            changed = _recompute_touched(e, batch_verts, touched)
-        changed.select(
-            "id", "component", F.lit(batch_id).cast("long").alias("seq")
-        ).write.mode("append").parquet(f"{state_root}/delta")
+        # persist the batch edges ONCE: downstream lineage reads them
+        # many times (vertex set, bucket collects, symmetrize uses the
+        # relation twice, the CC build) and every action would otherwise
+        # re-list and re-parse the batch's source files
+        e = batch.select("src", "dst").persist()
+        try:
+            batch_verts = (
+                e.select(F.col("src").alias("id"))
+                .unionByName(e.select(F.col("dst").alias("id")))
+                .distinct()
+            )
+            touched = batch_affected_state(
+                sess, state_root, batch_verts, n_buckets
+            )
+            if touched is None:
+                changed = components_batch(e, None)
+            else:
+                # materialize the affected-set-sized read ONCE:
+                # ``touched`` feeds star edges, the vertex set, and the
+                # CC loop — without this each action re-runs the
+                # bucket-pruned base scans + delta resolve (the I/O the
+                # pruning exists to minimize)
+                touched = touched.localCheckpoint(eager=True)
+                changed = _recompute_touched(e, batch_verts, touched)
+            changed.select(
+                "id", "component", F.lit(batch_id).cast("long").alias("seq")
+            ).write.mode("append").parquet(f"{state_root}/delta")
+        finally:
+            e.unpersist()
 
     q = (
         edges.writeStream.foreachBatch(upsert)

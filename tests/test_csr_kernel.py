@@ -193,3 +193,52 @@ def test_all_three_tiers_agree(spark):
             assert pr[k] == pytest.approx(incore_pr[k], abs=1e-12)
         assert cc == incore_cc
         assert lpa == incore_lpa
+
+
+def test_cc_contraction_converges_on_deep_paths(spark):
+    """FastSV-style hook+contract between diffusion rounds: a path graph
+    with shuffled vertex ids has O(length) plain-diffusion rounds (the
+    min label crawls local-minimum to local-minimum), far past the
+    default ``max_iters=100`` for a 3000-vertex path. The contraction
+    step (kernels/csr_dense.py ``_contract_labels``) must bring every
+    tier to the exact min-id labeling within O(log length) rounds.
+
+    Reference parity: the reference converges such graphs too (its CC
+    demo iterates a GrB_mxv fixpoint in C at ~ns/round, so round count
+    is immaterial there); in Spark each round is a job, so round count
+    IS the latency — this is a behavioral requirement the Spark
+    re-expression adds, not one it inherits."""
+    import numpy as np
+
+    from pygraphblas_spark.kernels.csr_dense import (
+        _BlockEngine,
+        _symmetrized,
+        cc_dense_kernel,
+    )
+    from pygraphblas_spark.plans.checkpoint import (
+        CheckpointManager,
+        iteration_conf,
+    )
+
+    n = 3000
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(n)
+    I = perm[:-1].tolist()
+    J = perm[1:].tolist()
+    e = edges_df(spark, I, J)
+
+    # in-core tier (default local call)
+    ck = CheckpointManager(algorithm="cc_path_incore")
+    got = cc_dense_kernel(e, n=n, checkpoint=ck).toPandas()
+    assert sorted(got["component"].unique()) == [0]  # one component, min id 0
+    assert len(ck.records) <= 20, f"{len(ck.records)} rounds (want O(log n))"
+
+    # fused memmap tier (pre-built engine)
+    with iteration_conf(spark):
+        eng = _BlockEngine(_symmetrized(e, False), n, 4).build()
+    ck2 = CheckpointManager(algorithm="cc_path_fused")
+    got2 = cc_dense_kernel(e, n=n, directed=False, engine=eng, checkpoint=ck2).toPandas()
+    eng.close()
+    assert sorted(got2["component"].unique()) == [0]
+    assert len(ck2.records) <= 20, f"{len(ck2.records)} rounds (want O(log n))"
+    assert got2.sort_values("id")["component"].tolist() == got.sort_values("id")["component"].tolist()
