@@ -646,6 +646,98 @@ def _contract_labels(new, old, r) -> None:
         new[:] = nxt
 
 
+def _resolve_label_pairs(a, b):
+    """Exact min-label connected components of the (tiny) conflict-pair
+    graph, driver-side vectorized numpy: returns ``(ids, resolved)``
+    where ``resolved[i]`` is the minimum label reachable from ``ids[i]``
+    through the pairs. Sizes here are the post-contraction conflict set
+    (thousands), so the O(pairs + ids) rounds cost microseconds."""
+    ids = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(ids, a)
+    ib = np.searchsorted(ids, b)
+    lab = np.arange(len(ids), dtype="int64")
+    while True:
+        prev = lab
+        q = np.arange(len(ids), dtype="int64")
+        np.minimum.at(q, lab[ia], lab[ib])
+        np.minimum.at(q, lab[ib], lab[ia])
+        lab = np.minimum(lab, q[lab])
+        while True:
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        if np.array_equal(lab, prev):
+            break
+    return ids, ids[lab]
+
+
+def _conflict_finish(eng, n, cur, cur_path, idt) -> int:
+    """One conflict-sweep job that FINISHES CC in place of the round
+    tail: every edge whose endpoints currently disagree yields its
+    (label_src, label_dst) pair (distinct per block); the driver
+    union-finds that tiny label graph and rebinds members.
+
+    Correct by construction: after the sweep's rebind, any two adjacent
+    vertices share a label (their labels were unioned), so labels are
+    constant per component; the group minimum is the component's min
+    vertex id (labels are non-increasing same-component ids, so the min
+    vertex's own label is itself and is a group member) — the same
+    certificate an empty diffusion round gives, without running the
+    O(log diameter) straggler rounds as separate jobs. Callers gate the
+    sweep on a small ``changed`` count so the collected pair set stays
+    bounded (conflicts only exist across still-active label frontiers;
+    measured: changed=194k → 9.5k distinct pairs on a 1.5M-edge batch).
+    Returns the number of distinct labels unioned."""
+    import pyarrow as pa
+
+    def sweep(batches, pp=cur_path, dt=idt):
+        lv = np.memmap(pp, dtype="int64", mode="r", shape=(n,))
+        for b in batches:
+            for i in range(b.num_rows):
+                uniq = np.frombuffer(
+                    b.column("uniq")[i].as_buffer(), dtype="int64"
+                )
+                starts = np.frombuffer(
+                    b.column("starts")[i].as_buffer(), dtype="int64"
+                )
+                src = np.frombuffer(b.column("src")[i].as_buffer(), dtype=dt)
+                lu = lv[src]
+                seg = np.zeros(len(src), dtype="int64")
+                seg[starts[1:]] = 1
+                ld = lv[uniq][np.cumsum(seg)]
+                cf = lu != ld
+                keys = (
+                    np.unique(lu[cf] * n + ld[cf])
+                    if cf.any()
+                    else np.zeros(0, dtype="int64")
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([keys.tobytes()], type=pa.binary())],
+                    names=["pairs"],
+                )
+
+    tbl = eng.run(sweep, "pairs binary")
+    col = tbl.column("pairs")
+    keys = [
+        np.frombuffer(col[i].as_buffer(), dtype="int64")
+        for i in range(tbl.num_rows)
+    ]
+    keys = (
+        np.unique(np.concatenate(keys)) if keys else np.zeros(0, dtype="int64")
+    )
+    if len(keys) == 0:
+        return 0
+    ids, resolved = _resolve_label_pairs(keys // n, keys % n)
+    # rebind through a scratch map: label L -> its group min; every
+    # member's label maps directly to the component min (see docstring),
+    # so no further compression pass is needed
+    rmap = np.arange(n, dtype="int64")
+    rmap[ids] = resolved
+    np.minimum(cur, rmap[cur], out=cur)
+    return len(ids)
+
+
 def _lpa_block_update(pv, uniq, starts, src, base):
     """Most-frequent-neighbor label with min tiebreak per block —
     identical math to the collect loop's ``vote`` kernel. Counts per
@@ -736,6 +828,20 @@ def _fused_label_loop(
             changed = int(sum(tbl.column("changed").to_pylist()))
             if shortcut and changed:
                 _contract_labels(cur, prev, r)
+                if changed <= max(1024, n >> 4):
+                    # small active set: one conflict sweep finishes the
+                    # component merge exactly (see _conflict_finish),
+                    # replacing the O(log diameter) straggler rounds —
+                    # each of which is a full Spark job
+                    swept = _conflict_finish(eng, n, cur, cur_path, idt)
+                    _maybe_durable(
+                        ckpt, spark, it0 + it + 1, "labels", n, cur,
+                        state_col,
+                        {"changed": 0, "n": n, "presweep_changed": changed,
+                         "swept_labels": swept},
+                    )
+                    converged = True
+                    break
             _maybe_durable(
                 ckpt, spark, it0 + it + 1, "labels", n, cur, state_col,
                 {"changed": changed, "n": n},
