@@ -1815,7 +1815,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents "
             "FROM events) "
             "SELECT CAST((us - (us % 3600000000)) / 1000000 AS BIGINT) AS ws, "
-            "event_type, COUNT(*) AS n, SUM(cents) AS cents "
+            # CAST(SUM(..) AS BIGINT): DuckDB sums BIGINT into HUGEINT,
+            # which fetches into pandas as float64 — int64 on the Spark
+            # side vs float64 on the oracle side hash-mismatches every
+            # row even though the values compare numerically equal (the
+            # 2-round-old events_window/user_sessions gate red cells:
+            # these two queries are the only oracles summing a BIGINT)
+            "event_type, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents "
             "FROM t GROUP BY 1, 2"
         ),
         "user_sessions": (
@@ -1835,7 +1841,9 @@ def oracle_sql() -> dict[str, str]:
             "SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g) "
             "SELECT user_id, MIN(us) AS session_start_us, "
-            "COUNT(*) AS n, SUM(cents) AS cents "
+            # see events_window: SUM(BIGINT) is HUGEINT in DuckDB →
+            # float64 in pandas → dtype-level hash mismatch vs Spark
+            "COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents "
             "FROM s GROUP BY user_id, sid"
         ),
         "extract_row": (

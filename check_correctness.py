@@ -67,14 +67,48 @@ def main() -> int:
         ores = con.sql(oracles[name])
         ocols_raw = ores.columns
         odata = ores.fetchall()
+        # dtype-kind parity as PANDAS would fetch it: a driver harness
+        # that hashes pandas frames sees DuckDB HUGEINT (e.g. any
+        # SUM(BIGINT)) as float64 while Spark returns int64 — values
+        # compare numerically equal here via fetchall() (HUGEINT →
+        # Python int), so without this check the replica greenlights a
+        # query the driver gate hash-fails (the 2-round-old
+        # events_window / user_sessions red cells).
+        import pandas as pd
+
+        odtypes = con.sql(oracles[name]).df().dtypes
+        skinds = {
+            f.name: (
+                "int"
+                if f.dataType.simpleString() in ("bigint", "int", "smallint", "tinyint")
+                else "float"
+                if f.dataType.simpleString() in ("double", "float")
+                else "other"
+            )
+            for f in sdf.schema.fields
+        }
+        dtype_bad = [
+            c
+            for c in odtypes.index
+            if c in skinds
+            and skinds[c] != "other"
+            and (
+                ("int" if pd.api.types.is_integer_dtype(odtypes[c])
+                 else "float" if pd.api.types.is_float_dtype(odtypes[c])
+                 else "other")
+                != skinds[c]
+            )
+        ]
         order = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
         ocols = [ocols_raw[i] for i in order]
         orows = [tuple(_canon(r[i]) for i in order) for r in odata]
         t_duck = time.time() - t0
         ok_rows = len(srows) == len(orows)
-        ok_schema = cols == ocols
+        ok_schema = cols == ocols and not dtype_bad
         ok_vals = sorted(srows, key=repr) == sorted(orows, key=repr)
         status = "PASS" if (ok_rows and ok_schema and ok_vals) else "FAIL"
+        if dtype_bad:
+            print(f"    dtype-kind mismatch (spark vs oracle-as-pandas): {dtype_bad}")
         print(
             f"{name}: {status} rows={len(srows)}/{len(orows)} "
             f"schema={'ok' if ok_schema else f'{cols} vs {ocols}'} "
