@@ -77,16 +77,26 @@ def main() -> int:
         import pandas as pd
 
         odtypes = con.sql(oracles[name]).df().dtypes
-        skinds = {
-            f.name: (
-                "int"
-                if f.dataType.simpleString() in ("bigint", "int", "smallint", "tinyint")
-                else "float"
-                if f.dataType.simpleString() in ("double", "float")
-                else "other"
-            )
-            for f in sdf.schema.fields
-        }
+        # Spark-side kinds as PANDAS would fetch them, not as the Spark
+        # schema declares them: toPandas() represents an integer column
+        # containing any NULL as float64 (pandas has no nullable int64
+        # by default), exactly like DuckDB's .df() does — so a nullable
+        # int column lands float64 on BOTH sides in the driver harness
+        # and is NOT a hash hazard (e.g. media_meta's parsed_* fields).
+        # Modeling kinds from the schema alone flagged those as false
+        # positives while the real hazard is int64-vs-float64 on
+        # null-free columns (HUGEINT sums).
+        skinds = {}
+        for f in sdf.schema.fields:
+            t = f.dataType.simpleString()
+            if t in ("bigint", "int", "smallint", "tinyint"):
+                ci = cols.index(f.name)
+                has_null = any(r[ci] is None for r in srows)
+                skinds[f.name] = "float" if has_null else "int"
+            elif t in ("double", "float"):
+                skinds[f.name] = "float"
+            else:
+                skinds[f.name] = "other"
         dtype_bad = [
             c
             for c in odtypes.index
