@@ -34,9 +34,19 @@ EDGE_STREAM_SCHEMA = T.StructType(
 )
 
 
-def stream_edges_from_files(spark: SparkSession, path: str) -> DataFrame:
-    """Streaming edge source: a directory of JSON files, fixed schema."""
-    return spark.readStream.schema(EDGE_STREAM_SCHEMA).json(path)
+def stream_edges_from_files(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming edge source: a directory of JSON files, fixed schema.
+
+    ``max_files_per_trigger`` chunks a long-lived (or availableNow)
+    query into micro-batches of at most that many files — the
+    production shape where ONE query processes arriving batches on a
+    cadence instead of a fresh query lifecycle per batch."""
+    reader = spark.readStream.schema(EDGE_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
 
 
 def streaming_out_degree(edges: DataFrame) -> DataFrame:

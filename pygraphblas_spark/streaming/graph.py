@@ -418,14 +418,27 @@ def incremental_components_maintenance(
     state_root: str,
     checkpoint_dir: str,
     n_buckets: int = N_STATE_BUCKETS,
+    compact_every: int | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Run incremental CC over all currently-available stream input
     (trigger availableNow) and block until done. Per batch, state is
     READ via ``batch_affected_state`` (bucket-pruned — only the touched
     base partitions plus the compaction-bounded delta) and only the
     rows of affected components (plus new vertices) are appended to the
-    delta log, stamped with the micro-batch id as ``seq``."""
-    edges = stream_edges_from_files(spark, stream_path)
+    delta log, stamped with the micro-batch id as ``seq``.
+
+    ``compact_every=k`` folds the delta log into a fresh bucketed base
+    snapshot after every k-th micro-batch processed by THIS call — the
+    long-lived-query maintenance cadence (callers no longer need to
+    stop the query to compact). ``max_files_per_trigger`` chunks the
+    available input into micro-batches of at most that many source
+    files, so one query lifecycle processes many batches — the
+    production cluster shape — instead of a fresh query per batch."""
+    edges = stream_edges_from_files(
+        spark, stream_path, max_files_per_trigger=max_files_per_trigger
+    )
+    done = {"batches": 0}
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
@@ -458,6 +471,14 @@ def incremental_components_maintenance(
             ).write.mode("append").parquet(f"{state_root}/delta")
         finally:
             e.unpersist()
+        # in-query compaction cadence: counted per maintenance CALL (not
+        # batch_id, which is monotone across the checkpoint's lifetime
+        # and would drift off-cadence after restarts). Runs after the
+        # delta append, so a micro-batch retry re-appends identical
+        # rows and re-folds idempotently.
+        done["batches"] += 1
+        if compact_every and done["batches"] % compact_every == 0:
+            compact_state(sess, state_root, n_buckets)
 
     q = (
         edges.writeStream.foreachBatch(upsert)

@@ -115,6 +115,46 @@ def test_streaming_end_to_end_with_compaction(spark, tmp_path):
             assert len(files) == 1, f"{d}: {len(files)} files (want 1)"
 
 
+def test_long_lived_query_chunked_with_inquery_compaction(spark, tmp_path):
+    """One maintenance call, many micro-batches: max_files_per_trigger
+    chunks the available files into per-file micro-batches inside a
+    single query lifecycle (the production long-lived-query shape), and
+    compact_every folds the delta log on cadence from INSIDE the query.
+    Final state must equal the batch recompute, same as the
+    query-per-batch shape."""
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    state_root = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, pairs):
+        with open(stream_dir / name, "w") as f:
+            for s, d in pairs:
+                f.write(
+                    json.dumps(
+                        {"src": s, "dst": d, "ts": "2026-01-01T00:00:00"}
+                    )
+                    + "\n"
+                )
+
+    write_batch("b1.json", _PHASE1)
+    write_batch("b2.json", _PHASE2)
+    incremental_components_maintenance(
+        spark,
+        str(stream_dir),
+        state_root,
+        ckpt,
+        compact_every=1,
+        max_files_per_trigger=1,
+    )
+    got = {r["id"]: r["component"] for r in read_state(spark, state_root).collect()}
+    assert got == _full_cc(spark, _PHASE1 + _PHASE2)
+    # compact_every=1 and the last micro-batch compacting means the
+    # delta log is folded and the bucketed base is live
+    assert os.path.exists(f"{state_root}/base")
+    assert not os.path.exists(f"{state_root}/delta")
+
+
 def test_compaction_crash_fallback_and_heal(spark, tmp_path):
     """Crash-safety of the compaction swap (ADVICE): if a crash strands
     the snapshot as ``base_old`` (rename base->base_old done, base_new
