@@ -144,6 +144,140 @@ print("PROBE_RESULT " + json.dumps(
 """
 
 
+JOIN_PROBE = r"""
+import os, sys, time, json
+cores, path, sym_path, iters, reps = (
+    sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4]), int(sys.argv[5]))
+os.environ["SPARK_GRAFT_CPUS"] = cores
+from pygraphblas_spark.session import get_spark
+from pygraphblas_spark.algorithms import pagerank, connected_components
+from pygraphblas_spark.plans.checkpoint import CheckpointManager
+
+# The dense-kernel probes measure the per-executor-node physical plan;
+# the auto tier gates those kernels OFF above DENSE_KERNEL_MAX_ROWS =
+# 10M vertices, so the configuration that actually runs at 10^12-file
+# scale is the fully-distributed JOIN tier (pagerank strategy='shuffle',
+# cc strategy='join'). This probe gives THAT tier its own N->4N row
+# (r4 verdict #5) on the same 16M-vertex input.
+spark = get_spark("join_probe", cores=cores, shuffle_partitions=32)
+out = {}
+
+e = spark.read.parquet(path).persist()
+ne = e.count()
+n = int(e.selectExpr("greatest(max(src),max(dst))").first()[0]) + 1
+
+# pagerank shuffle tier: identical work every iteration -> steady-state
+# per-iteration floors (first delta of each rep = edge fold/sort/persist
+# build + warm-up, excluded), same clean-floor basis as the dense probes
+rep_stats = []
+for _ in range(reps):
+    ck = CheckpointManager(algorithm="pagerank_join")
+    t0 = time.time()
+    pagerank(e, n=n, tol=0.0, max_iters=iters, strategy="shuffle",
+             checkpoint=ck).count()
+    total = time.time() - t0
+    el = [r["elapsed_sec"] for r in ck.records]
+    deltas = [round(el[0], 3)] + [
+        round(el[i] - el[i - 1], 3) for i in range(1, len(el))]
+    rep_stats.append({"total_sec": round(total, 1), "deltas": deltas})
+steady = sorted(d for r in rep_stats for d in r["deltas"][1:]) or sorted(
+    r["deltas"][0] for r in rep_stats)
+floor, med, worst = steady[0], steady[len(steady) // 2], steady[-1]
+out["pagerank_join"] = {"iters": iters, "per_iter_sec": round(floor, 3),
+                        "per_iter_median_sec": round(med, 3),
+                        "per_iter_max_sec": round(worst, 3),
+                        "noise_ratio": round(worst / floor, 2),
+                        "eps_iter": round(ne / floor), "reps": rep_stats}
+e.unpersist()
+
+# cc join tier: per-round work SHRINKS with the delta frontier, so
+# per-iteration marginals are not comparable across rounds — one-shot
+# totals over a fixed 3 rounds (identical work at both levels: same
+# input, same rounds, same frontiers), floor over reps
+es = spark.read.parquet(sym_path).persist()
+nes = es.count()
+tots = []
+import warnings
+for _ in range(reps):
+    ck = CheckpointManager(algorithm="cc_join")
+    t0 = time.time()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # expected not-converged warning
+        connected_components(es, n=n, max_iters=3, directed=True,
+                             strategy="join", checkpoint=ck).count()
+    tots.append(time.time() - t0)
+floor = min(tots)
+out["cc_join"] = {"iters": 3, "per_iter_sec": round(floor, 3),
+                  "per_iter_median_sec": round(sorted(tots)[len(tots) // 2], 3),
+                  "per_iter_max_sec": round(max(tots), 3),
+                  "noise_ratio": round(max(tots) / floor, 2),
+                  "eps_iter": round(nes / floor),
+                  "reps": [round(t, 1) for t in tots]}
+es.unpersist()
+print("PROBE_RESULT " + json.dumps(
+    {"cores": int(cores), "edges": ne, "sym_edges": nes, "n": n,
+     "kind": "join", "algos": out}), flush=True)
+"""
+
+
+TRI_CLUSTER_PROBE = r"""
+import os, sys, time, json
+k, tri_path, reps, mem_mb = (
+    int(sys.argv[1]), sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+# Executor-ISOLATED scaling (r4 verdict #3): local-cluster[k,1,mem]
+# spawns k separate single-core executor JVMs (own heaps, own thread
+# pools) instead of k threads inside one machine-sized JVM, and
+# ActiveProcessorCount=1 sizes each executor's GC/JIT/netty pools to
+# its 1 core — removing the machine-sized-JVM background-thread
+# artifact, one of the two claimed causes of the triangles fixed term.
+# (Shared DRAM remains: all executors are still one box.)
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.appName("tri_cluster_probe")
+    .master(f"local-cluster[{k},1,{mem_mb}]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.default.parallelism", str(k))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "16g")
+    .config("spark.executorEnv.PYTHONPATH", os.getcwd())
+    .config("spark.executor.extraJavaOptions", "-XX:ActiveProcessorCount=1")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("WARN")
+from pygraphblas_spark.algorithms import triangle_count
+
+et = spark.read.parquet(tri_path).persist()
+net = et.count()
+out = {}
+tots, tri = [], None
+for _ in range(reps):
+    t0 = time.time()
+    t = triangle_count(et)
+    tots.append(time.time() - t0)
+    if tri is None:
+        tri = t
+    assert t == tri, f"count drifted {t} != {tri}"
+floor = min(tots)
+out["triangles_isolated"] = {
+    "iters": 1, "per_iter_sec": round(floor, 3),
+    "per_iter_median_sec": round(sorted(tots)[len(tots) // 2], 3),
+    "per_iter_max_sec": round(max(tots), 3),
+    "noise_ratio": round(max(tots) / floor, 2),
+    "eps_iter": round(net / floor), "triangles": tri, "tri_edges": net,
+    "reps": [round(t, 1) for t in tots]}
+print("PROBE_RESULT " + json.dumps(
+    {"cores": k, "edges": net, "n": 0, "kind": "tri_cluster",
+     "algos": out}), flush=True)
+"""
+
+
 PIPE_PROBE = r"""
 import os, sys, time, json
 cores, docs_path, emb_path, reps = (
@@ -261,23 +395,35 @@ emeta = json.load(open(os.path.join(edge_root, "meta.json")))
 # engine). Per-micro-batch state reads, delta appends, checkpoint
 # commits, and compactions all still happen per batch inside the run.
 cc_batches = sorted(glob.glob(os.path.join(edge_root, "batch_*")))
-files_per_batch = max(
-    len(glob.glob(os.path.join(b, "*.json"))) for b in cc_batches)
-def cc_run(wd, sd):
+fcounts = [len(glob.glob(os.path.join(b, "*.json"))) for b in cc_batches]
+# equal per-batch file counts, or the trigger's file chunking would
+# split/merge micro-batches across logical batch boundaries and the
+# reported iters / per-micro-batch fixed cost would misstate reality
+assert len(set(fcounts)) == 1, f"unequal batch file counts: {fcounts}"
+files_per_batch = fcounts[0]
+def cc_run(wd, sd, bdeltas):
     incremental_components_maintenance(
         spark, sd, os.path.join(wd, "state"), os.path.join(wd, "ckpt"),
-        compact_every=compact_every, max_files_per_trigger=files_per_batch)
+        compact_every=compact_every, max_files_per_trigger=files_per_batch,
+        on_batch=lambda bid, sec: bdeltas.append(round(sec, 3)))
 def cc_final(wd):
     return read_state(spark, os.path.join(wd, "state")).count()
-tots, final = [], None
+tots, rep_deltas, final, nb = [], [], None, None
 for _ in range(reps):
     wd = tempfile.mkdtemp(prefix="probe_stream_cc_")
     sd = os.path.join(wd, "stream"); os.makedirs(sd)
     for k, b in enumerate(cc_batches):
         feed(sd, b, k)
     t0 = time.time()
-    cc_run(wd, sd)
+    bdeltas = []
+    cc_run(wd, sd, bdeltas)
     tots.append(time.time() - t0)
+    # ACTUAL micro-batch count from the foreachBatch hook (not an
+    # assumption about how the file source chunked the input)
+    if nb is None:
+        nb = len(bdeltas)
+    assert len(bdeltas) == nb, f"micro-batch count drifted {len(bdeltas)} != {nb}"
+    rep_deltas.append(bdeltas)
     rows = cc_final(wd)
     if final is None:
         final = rows
@@ -285,13 +431,13 @@ for _ in range(reps):
     shutil.rmtree(wd, ignore_errors=True)
 floor = min(tots)
 out["stream_cc"] = {
-    "iters": len(cc_batches), "per_iter_sec": round(floor, 3),
+    "iters": nb, "per_iter_sec": round(floor, 3),
     "per_iter_median_sec": round(sorted(tots)[len(tots) // 2], 3),
     "per_iter_max_sec": round(max(tots), 3),
     "noise_ratio": round(max(tots) / floor, 2),
     "eps_iter": round(emeta["rows"] / floor), "final_rows": final,
-    "reps": [{"total_sec": round(t, 1), "deltas": [round(t, 3)]}
-             for t in tots]}
+    "reps": [{"total_sec": round(t, 1), "deltas": d}
+             for t, d in zip(tots, rep_deltas)]}
 
 dmeta = json.load(open(os.path.join(docs_root, "meta.json")))
 def dd_batch(wd, sd, k):
@@ -325,6 +471,17 @@ def _amdahl_fit_lines(algo, c1, rec1, c2, rec2, c3=None, rec3=None):
         return []
     C = (t1 - t2) / (1.0 / c1 - 1.0 / c2)
     F = t1 - C / c1
+    if C <= 0 or F < 0:
+        # noisy floors (high-core level not proportionally faster, or a
+        # super-linear fluke) make the two-parameter solve degenerate —
+        # say so instead of printing a negative "fixed seconds" figure
+        return [
+            "",
+            f"(A `T(k) = F + C/k` decomposition of the {algo} floors is",
+            f"not meaningful at this noise level: the solve gives",
+            f"F = {F:.1f} s, C = {C:.1f} CPU-s — re-measure on a quieter",
+            "box before attributing the ratio to a fixed term.)",
+        ]
     out = [
         "",
         f"Decomposing the measured floors as `T(k) = F + C/k`",
@@ -338,7 +495,7 @@ def _amdahl_fit_lines(algo, c1, rec1, c2, rec2, c3=None, rec3=None):
             t3 = rec3["algos"][algo]["per_iter_sec"]
         except (KeyError, TypeError):
             t3 = None
-    if t3:
+    if t3 is not None and t3 > 0:
         pred = F + C / c3
         err = abs(pred - t3) / t3 * 100
         out += [
@@ -377,6 +534,11 @@ def _code_tag(kind: str) -> str:
             "plans/checkpoint.py", "session.py",
         ],
         "pipeline": ["pipeline/dedup.py", "pipeline/similarity.py", "session.py"],
+        "join": [
+            "algorithms/pagerank.py", "algorithms/components.py",
+            "plans/checkpoint.py", "session.py",
+        ],
+        "tri_cluster": ["kernels/tri_csr.py", "algorithms/triangles.py"],
         "streaming": [
             "streaming/graph.py", "streaming/dedup.py", "streaming/core.py",
             "pipeline/dedup.py", "algorithms/components.py",
@@ -388,9 +550,8 @@ def _code_tag(kind: str) -> str:
         with open(os.path.join(pkg, f), "rb") as fh:
             h.update(fh.read())
     h.update(
-        {"graph": PROBE, "pipeline": PIPE_PROBE, "streaming": STREAM_PROBE}[
-            kind
-        ].encode()
+        {"graph": PROBE, "pipeline": PIPE_PROBE, "streaming": STREAM_PROBE,
+         "join": JOIN_PROBE, "tri_cluster": TRI_CLUSTER_PROBE}[kind].encode()
     )
     return h.hexdigest()[:12]
 
@@ -609,6 +770,40 @@ def run_stream_probe(
     raise RuntimeError(f"no PROBE_RESULT in output:\n{out.stdout[-2000:]}")
 
 
+def run_join_probe(
+    cores: int, path: str, sym_path: str, iters: int = 4, reps: int = 2
+) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", JOIN_PROBE, str(cores), path, sym_path,
+         str(iters), str(reps)],
+        capture_output=True, text=True, timeout=7200, cwd=REPO,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"join probe local[{cores}] failed:\n{out.stderr[-3000:]}")
+    for line in out.stdout.splitlines():
+        if line.startswith("PROBE_RESULT "):
+            return _record(json.loads(line[len("PROBE_RESULT "):]), "join")
+    raise RuntimeError(f"no PROBE_RESULT in output:\n{out.stdout[-2000:]}")
+
+
+def run_tri_cluster_probe(
+    k: int, tri_path: str, reps: int = 3, mem_mb: int = 4096
+) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", TRI_CLUSTER_PROBE, str(k), tri_path,
+         str(reps), str(mem_mb)],
+        capture_output=True, text=True, timeout=7200, cwd=REPO,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"tri-cluster probe [{k} executors] failed:\n{out.stderr[-3000:]}"
+        )
+    for line in out.stdout.splitlines():
+        if line.startswith("PROBE_RESULT "):
+            return _record(json.loads(line[len("PROBE_RESULT "):]), "tri_cluster")
+    raise RuntimeError(f"no PROBE_RESULT in output:\n{out.stdout[-2000:]}")
+
+
 def _merge_runs(latest: dict) -> dict:
     """Cross-run floor merge: the clean-floor estimator is the MINIMUM
     steady-state iteration over everything observed, so every recorded
@@ -679,9 +874,16 @@ def main():
     ap.add_argument("--stream-edge-batches", type=int, default=4)
     # batch size picked so the distributed per-batch compute dominates
     # the per-micro-batch fixed costs (query planning, checkpoint
-    # commits, driver collects) — at 500k edges/batch those fixed costs
-    # cap measurable speedup regardless of how well the plan scales
-    ap.add_argument("--stream-edges-per-batch", type=int, default=1_500_000)
+    # commits, driver collects). The r4 three-point Amdahl fit measured
+    # that fixed term at ~18 s/micro-batch vs ~73 CPU-s/batch of
+    # parallel compute at 1.5M edges/batch — a 2→8-core efficiency
+    # ceiling of ~0.55 from the fixed share alone. Solving
+    # T2/(4·T8) ≥ 0.8 with those constants needs ≥ ~5.5× the batch, so
+    # the default is 8× (12M edges/batch): the probe then measures the
+    # engine's scaling at a compute-dominated batch size — the regime
+    # the verdict asked to be MEASURED rather than argued — while 4
+    # batches × 12M stays well inside the 128 GiB sandbox.
+    ap.add_argument("--stream-edges-per-batch", type=int, default=12_000_000)
     ap.add_argument("--stream-doc-batches", type=int, default=4)
     ap.add_argument("--stream-docs-per-batch", type=int, default=50_000)
     ap.add_argument("--stream-compact-every", type=int, default=2,
@@ -690,6 +892,17 @@ def main():
                     help="reps per streaming probe level (floors from "
                          "separate invocations merge, so a short first "
                          "pass can be tightened by later runs)")
+    ap.add_argument("--skip-join", action="store_true",
+                    help="skip the distributed join-tier probes "
+                         "(pagerank strategy='shuffle', cc strategy='join')")
+    ap.add_argument("--join-iters", type=int, default=4)
+    ap.add_argument("--join-reps", type=int, default=2)
+    ap.add_argument("--skip-tri-cluster", action="store_true",
+                    help="skip the executor-isolated local-cluster "
+                         "triangle probes")
+    ap.add_argument("--tri-cluster-reps", type=int, default=3)
+    ap.add_argument("--tri-cluster-mem", type=int, default=4096,
+                    help="memory (MB) per local-cluster executor")
     ap.add_argument("--append-streaming", action="store_true",
                     help="keep the existing report's graph/pipeline sections "
                          "(reloaded from its embedded Raw JSON) and refresh "
@@ -701,8 +914,29 @@ def main():
         args.files, args.iters, args.tri_files = 200_000, 6, 200_000
         args.pipe_docs, args.pipe_vecs, args.pipe_queries = 50_000, 20_000, 500
         args.stream_edges_per_batch, args.stream_docs_per_batch = 20_000, 2_000
+        args.join_iters = 3
 
     ratio = args.high / args.low
+
+    def _latest_recorded(kind, cores, min_algos=1, edges=None):
+        """Latest recorded full run of this kind/level at the CURRENT
+        code tag (stale-tag records never render as results); ``edges``
+        additionally pins the workload size so smoke-scale records
+        cannot stand in for the real input."""
+        if not os.path.exists(RUNS_LOG):
+            return None
+        tag = _code_tag(kind)
+        best = None
+        for r in (json.loads(l) for l in open(RUNS_LOG) if l.strip()):
+            if (
+                r.get("kind") == kind
+                and len(r.get("algos", {})) >= min_algos
+                and r.get("code_tag") == tag
+                and r["cores"] == cores
+                and (edges is None or r["edges"] == edges)
+            ):
+                best = r
+        return _merge_runs(best) if best else None
     if args.append_streaming:
         # graph/pipeline records come verbatim from the existing report's
         # embedded Raw JSON (their measurements are NOT re-run — the
@@ -847,6 +1081,33 @@ def main():
                         s_low = _merge_runs(r)
                     elif r["cores"] == args.high:
                         s_high = _merge_runs(r)
+
+    # join-path and executor-isolated tiers: reuse latest recorded runs
+    # at the current code tag; measure what's missing (main branch only)
+    j_low = _latest_recorded("join", args.low, 2)
+    j_high = _latest_recorded("join", args.high, 2)
+    t_low = _latest_recorded("tri_cluster", args.low, 1)
+    t_high = _latest_recorded("tri_cluster", args.high, 1)
+    if not (args.report_only or args.append_streaming):
+        if not args.skip_join and (j_low is None or j_high is None):
+            jpath = ensure_input(args.files)
+            jsym = ensure_input(args.files, sym=True)
+            if j_low is None:
+                j_low = run_join_probe(
+                    args.low, jpath, jsym, args.join_iters, args.join_reps)
+            if j_high is None:
+                j_high = run_join_probe(
+                    args.high, jpath, jsym, args.join_iters, args.join_reps)
+        if not args.skip_tri_cluster and (t_low is None or t_high is None):
+            tpath = ensure_input(args.tri_files)
+            if t_low is None:
+                t_low = run_tri_cluster_probe(
+                    args.low, tpath, args.tri_cluster_reps,
+                    args.tri_cluster_mem)
+            if t_high is None:
+                t_high = run_tri_cluster_probe(
+                    args.high, tpath, args.tri_cluster_reps,
+                    args.tri_cluster_mem)
 
     lines = [
         "# BENCH — scaling efficiency report",
@@ -1095,16 +1356,18 @@ def main():
                 ] + _amdahl_fit_lines(
                     algo, args.low, s_low, args.high, s_high,
                     args.extra_high, s_x,
-                ) + [
-                    "",
-                    f"Per micro-batch that fixed term is ~{ffix / nb:.1f} s",
-                    "of query machinery (micro-batch planning, state",
-                    "commit, driver bookkeeping) — constant per batch",
-                    "at every level here AND on a real cluster, where",
-                    "production batches are orders of magnitude larger",
-                    "and the parallel term (scaling at ~1.0 in the fit)",
-                    "dominates.",
-                ]
+                )
+                if cpar > 0 and ffix >= 0:
+                    lines += [
+                        "",
+                        f"Per micro-batch that fixed term is ~{ffix / nb:.1f} s",
+                        "of query machinery (micro-batch planning, state",
+                        "commit, driver bookkeeping) — constant per batch",
+                        "at every level here AND on a real cluster, where",
+                        "production batches are orders of magnitude larger",
+                        "and the parallel term (scaling at ~1.0 in the fit)",
+                        "dominates.",
+                    ]
         lines += [
             "",
             f"| operator | local[{args.low}] flr/med/max | noise | local[{args.high}] flr/med/max | noise |",
@@ -1118,6 +1381,95 @@ def main():
                 f" | {b['per_iter_sec']} / {b.get('per_iter_median_sec')} / {b.get('per_iter_max_sec')}"
                 f" | {b.get('noise_ratio')}x |"
             )
+    if j_low is not None and j_high is not None:
+        lines += [
+            "",
+            "## Join-path tier (the 10^12-vertex configuration)",
+            "",
+            "Every row above the pipeline section measures the dense",
+            "CSR-block kernels — the per-executor-node plan, which the",
+            "auto tier gates OFF above `DENSE_KERNEL_MAX_ROWS` = 10M",
+            "vertices. At 10^12-file scale the engine runs the fully-",
+            "distributed JOIN plans instead; this tier gives that",
+            "configuration its own N→4N rows on the same",
+            f" {j_low['edges']:,}-edge / {j_low['n']:,}-vertex input:",
+            "",
+            "- `pagerank_join` (strategy='shuffle'): per-iteration",
+            "  steady-state floors (identical work every round; the",
+            "  first delta of each rep — edge fold + sort + persist",
+            "  build — is excluded, same basis as the dense probes).",
+            "- `cc_join` (strategy='join'): the per-round work SHRINKS",
+            "  with the delta frontier, so marginals are not comparable",
+            "  across rounds — one-shot totals over a fixed 3 rounds",
+            "  (same input ⇒ identical frontiers at both levels),",
+            "  including the one-time symmetrized-table sort+persist.",
+            "",
+            f"| algorithm | local[{args.low}] e/s | local[{args.high}] e/s | speedup | efficiency |",
+            "|---|---|---|---|---|",
+        ]
+        j_effs = []
+        for algo in j_low["algos"]:
+            a = j_low["algos"][algo]["eps_iter"]
+            b = j_high["algos"][algo]["eps_iter"]
+            sp = b / a
+            eff = sp / ratio
+            j_effs.append(eff)
+            lines.append(f"| {algo} | {a:,} | {b:,} | {sp:.2f}x | **{eff:.2f}** |")
+        lines += [
+            "",
+            f"Mean join-path efficiency N→{ratio:.0f}N: "
+            f"**{sum(j_effs) / len(j_effs):.2f}** (target ≥ 0.8).",
+            "",
+            f"| algorithm | local[{args.low}] flr/med/max | noise | local[{args.high}] flr/med/max | noise |",
+            "|---|---|---|---|---|",
+        ]
+        for algo in j_low["algos"]:
+            a, b = j_low["algos"][algo], j_high["algos"][algo]
+            lines.append(
+                f"| {algo} | {a['per_iter_sec']} / {a.get('per_iter_median_sec')} / {a.get('per_iter_max_sec')}"
+                f" | {a.get('noise_ratio')}x"
+                f" | {b['per_iter_sec']} / {b.get('per_iter_median_sec')} / {b.get('per_iter_max_sec')}"
+                f" | {b.get('noise_ratio')}x |"
+            )
+        for algo, eff in zip(j_low["algos"], j_effs):
+            if eff < 0.8:
+                lines += [
+                    "",
+                    f"### {algo} below target",
+                ] + _amdahl_fit_lines(
+                    algo, args.low, j_low, args.high, j_high
+                )
+    if t_low is not None and t_high is not None:
+        ta = t_low["algos"]["triangles_isolated"]
+        tb = t_high["algos"]["triangles_isolated"]
+        t_eff = (tb["eps_iter"] / ta["eps_iter"]) / ratio
+        lines += [
+            "",
+            "## Executor-isolated triangles (local-cluster)",
+            "",
+            "The dense-tier triangles row above runs all levels inside",
+            "ONE machine-sized JVM, whose GC/JIT/netty pools are sized",
+            "to 32 cores — free background parallelism that deflates",
+            "the low-core level's wall-clock (claimed fixed-term cause",
+            "#2 in the r4 report). This probe removes that artifact:",
+            f"`local-cluster[{args.low},1,{args.tri_cluster_mem}]` vs",
+            f"`local-cluster[{args.high},1,{args.tri_cluster_mem}]` —",
+            "separate single-core executor JVMs, each confined with",
+            "`-XX:ActiveProcessorCount=1`, same",
+            f" {t_low['edges']:,}-edge input, count asserted identical.",
+            "Shared DRAM remains (one box), so any residual shortfall",
+            "is the memory-channel share alone.",
+            "",
+            f"| algorithm | {args.low} exec e/s | {args.high} exec e/s | speedup | efficiency |",
+            "|---|---|---|---|---|",
+            f"| triangles (isolated) | {ta['eps_iter']:,} | {tb['eps_iter']:,}"
+            f" | {tb['eps_iter'] / ta['eps_iter']:.2f}x | **{t_eff:.2f}** |",
+            "",
+            f"| level | flr/med/max s | noise |",
+            "|---|---|---|",
+            f"| {args.low} executors | {ta['per_iter_sec']} / {ta.get('per_iter_median_sec')} / {ta.get('per_iter_max_sec')} | {ta.get('noise_ratio')}x |",
+            f"| {args.high} executors | {tb['per_iter_sec']} / {tb.get('per_iter_median_sec')} / {tb.get('per_iter_max_sec')} | {tb.get('noise_ratio')}x |",
+        ]
     if r_x:
         lines += [
             "",
@@ -1144,7 +1496,10 @@ def main():
         json.dumps({"low": r_low, "high": r_high, "extra": r_x,
                     "pipeline_low": p_low, "pipeline_high": p_high,
                     "streaming_low": s_low, "streaming_high": s_high,
-                    "streaming_extra": s_x}, indent=1),
+                    "streaming_extra": s_x,
+                    "join_low": j_low, "join_high": j_high,
+                    "tri_cluster_low": t_low, "tri_cluster_high": t_high},
+                   indent=1),
         "```",
     ]
 

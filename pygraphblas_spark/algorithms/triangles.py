@@ -82,6 +82,12 @@ def triangle_count(edges: DataFrame, strategy: str = "auto") -> int:
             ):
                 try:
                     return tri_csr.triangle_count_blocked(e, n)
+                except tri_csr.BlockedIndexTooLarge:
+                    # cluster without a shared staging dir, index too
+                    # big for the driver — the pure-shuffle join plan
+                    # below is the scale-safe owner of that regime
+                    if strategy == "blocked":
+                        raise
                 finally:
                     e.unpersist()
         e.unpersist()

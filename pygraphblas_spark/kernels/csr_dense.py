@@ -341,6 +341,30 @@ def _pagerank_incore_loop(
     return rank
 
 
+#: engage the delta-frontier vote when fewer than n/DELTA_FRONTIER_DIV
+#: labels changed last round (above it the full vote's single fused
+#: pass is cheaper than frontier bookkeeping)
+DELTA_FRONTIER_DIV = 8
+
+
+def _affected_segments(uniq, starts, src, changed_sorted):
+    """Delta-frontier selection: positions (into ``uniq``) of the dst
+    segments containing at least one changed in-neighbor — the ONLY
+    vertices whose next vote can differ (their input multiset is
+    otherwise identical, and every update here is deterministic).
+    Direction-safe: works off the dst-keyed CSR's own src lists, so it
+    is exact for directed tables too (no symmetry assumption). Cost is
+    one O(m log c) searchsorted + a reduceat — vs the full vote's
+    O(m log m) sort every round."""
+    if len(src) == 0 or len(changed_sorted) == 0:
+        return np.empty(0, dtype="int64")
+    pos = np.searchsorted(changed_sorted, src)
+    hit = (pos < len(changed_sorted)) & (
+        changed_sorted[np.minimum(pos, len(changed_sorted) - 1)] == src
+    )
+    return np.flatnonzero(np.maximum.reduceat(hit, starts))
+
+
 def _label_incore_loop(
     spark, ckpt, n, uniq, starts, src, max_iters, block_fn, state_col,
     labels0=None, it0: int = 0, shortcut: bool = False,
@@ -348,18 +372,44 @@ def _label_incore_loop(
     """Driver in-core label rounds (cc/lpa) — ``block_fn`` is the same
     per-block update the distributed loops run; here the single 'block'
     spans every dst. ``shortcut`` applies the CC pointer-jumping pass
-    between rounds (see :func:`_contract_labels`; CC only). Returns
-    (labels, converged)."""
+    between rounds (see :func:`_contract_labels`; CC only).
+
+    After the first (full) round, rounds run DELTA-FRONTIER: only dst
+    segments with a changed in-neighbor re-vote
+    (:func:`_affected_segments` — the north-star's shrink-per-round
+    iteration); every other vertex's vote inputs are bit-identical to
+    last round, so its deterministic winner is its current label.
+    Labels changed by the CC contraction pass count into the next
+    round's frontier (computed on the post-contraction vector).
+    Returns (labels, converged)."""
     labels = labels0 if labels0 is not None else np.arange(n, dtype="int64")
     r = np.arange(n, dtype="int64") if shortcut else None
+    ends = np.r_[starts[1:], len(src)] if len(starts) else starts
+    frontier = None  # None = full vote (first round / warm-start)
     converged = False
     for it in range(it0, it0 + max_iters):
         new = labels.copy()  # uncovered vertices carry their label
         if len(src):
-            new[uniq] = block_fn(labels, uniq, starts, src)
+            if frontier is not None and len(frontier) < n // DELTA_FRONTIER_DIV:
+                sel = _affected_segments(uniq, starts, src, frontier)
+                if len(sel):
+                    l = ends[sel] - starts[sel]
+                    tot = int(l.sum())
+                    off = np.cumsum(l) - l
+                    flat = (
+                        np.repeat(starts[sel], l)
+                        + np.arange(tot)
+                        - np.repeat(off, l)
+                    )
+                    new[uniq[sel]] = block_fn(
+                        labels, uniq[sel], off, src[flat]
+                    )
+            else:
+                new[uniq] = block_fn(labels, uniq, starts, src)
         changed = int((new != labels).sum())
         if shortcut and changed:
             _contract_labels(new, labels, r)
+        frontier = np.flatnonzero(new != labels)
         labels = new
         _maybe_durable(
             ckpt, spark, it + 1, "labels", n, labels, state_col,

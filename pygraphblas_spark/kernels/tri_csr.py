@@ -52,10 +52,38 @@ from pyspark.sql import functions as F
 #: inside the allocator's reuse path and the per-core L2/L3 slice.
 WEDGE_CHUNK = int(os.environ.get("PGB_TRI_WEDGE_CHUNK", "262144"))
 
-#: above this many oriented edges the shared key array (8B/edge) stops
-#: being reasonable to ship to every node; callers fall back to the
-#: DataFrame join plan
+#: above this many oriented edges the shared probe index (4B/edge dst
+#: plus the (n+1)·8B row pointer) stops being reasonable to ship to
+#: every node; callers fall back to the DataFrame join plan
 BLOCKED_MAX_ORIENTED = int(os.environ.get("PGB_TRI_MAX_ORIENTED", "400000000"))
+
+
+def _parse_mem(s: str) -> int:
+    """Spark memory string ("4g", "512m", "1024k", plain bytes) → bytes."""
+    s = s.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(float(s))
+
+
+def blocked_driver_cap(spark, n: int) -> int:
+    """Max oriented edges the DRIVER-COLLECT fallback of the blocked
+    tier may hold, derived from ``spark.driver.memory`` instead of a
+    silent fixed constant: the collect materializes the Arrow table
+    (16B/edge transient), the CSR index (4B/edge dst + 8·(n+1) ptr),
+    and a broadcast copy of the index — budgeted at 25% of driver
+    memory so the peak (~24B/edge + 16B/vertex) cannot silently OOM a
+    small driver. The task-side shared-filesystem dump
+    (``_dump_sorted_index_fs``) has no such cap — only the fallback
+    does."""
+    try:
+        mem = _parse_mem(spark.sparkContext.getConf().get("spark.driver.memory", "1g"))
+    except Exception:
+        mem = 1 << 30
+    budget = mem // 4
+    cap = max(0, (budget - 16 * n) // 24)
+    return min(cap, BLOCKED_MAX_ORIENTED)
 
 
 def _csr_index(keys: np.ndarray, n: int):
@@ -376,6 +404,141 @@ def _dump_sorted_index(oriented: DataFrame, n: int, tmpdir: str):
     return ptr_path, dst_path
 
 
+def _shared_index_dir(spark) -> str | None:
+    """Cluster-mode shared-filesystem staging root for the blocked
+    kernel's probe index: ``spark.pygraphblas.tri.sharedDir`` conf or
+    ``PGB_TRI_SHARED_DIR`` env (an HDFS/S3/NFS URI every executor can
+    reach). None when unconfigured."""
+    try:
+        d = spark.conf.get("spark.pygraphblas.tri.sharedDir", None)
+    except Exception:
+        d = None
+    return d or os.environ.get("PGB_TRI_SHARED_DIR") or None
+
+
+def _dump_sorted_index_fs(oriented: DataFrame, n: int, shared_uri: str):
+    """Cluster-path twin of :func:`_dump_sorted_index`: tasks of the
+    parallel range sort write their dst blocks + (src, run-length)
+    summaries straight to ``shared_uri`` through ``pyarrow.fs`` (HDFS /
+    S3 / NFS / file:// — whatever the cluster shares). The driver then
+    reads ONLY the RLE summaries (O(distinct src per partition) rows,
+    not edges) to build ``ptr`` and publishes it back to the shared
+    dir. No edge byte ever crosses the driver — the previous
+    ``orderBy().toArrow()`` fallback pulled up to ~6.4 GB of packed
+    pairs serially through one driver thread at the 400M-edge cap.
+
+    Returns (parts, ptr) where ``parts`` is the ordered
+    [(partition_id, edge_count)] manifest count tasks use to assemble
+    the index node-locally (:func:`_fetch_shared_index`)."""
+    import pyarrow as pa
+    import pyarrow.fs as pafs
+    from pyspark import TaskContext
+
+    fs, base = pafs.FileSystem.from_uri(shared_uri)
+    fs.create_dir(base, recursive=True)
+    dt = "int32" if n <= (1 << 31) - 1 else "int64"
+
+    def dump(batches):
+        import pyarrow.fs as pafs_t
+
+        pid = TaskContext.get().partitionId()
+        us, vs = [], []
+        for bt in batches:
+            us.append(bt.column("src").to_numpy(zero_copy_only=False))
+            vs.append(bt.column("dst").to_numpy(zero_copy_only=False))
+        cnt = 0
+        if us:
+            u = np.asarray(np.concatenate(us), dtype="int64")
+            v = np.asarray(np.concatenate(vs), dtype="int64")
+            cnt = len(u)
+            tfs, tbase = pafs_t.FileSystem.from_uri(shared_uri)
+            # write tmp + move: a re-run task can't be seen half-written
+            dtmp = f"{tbase}/.dst_{pid:05d}.bin.tmp"
+            with tfs.open_output_stream(dtmp) as out:
+                out.write(v.astype(dt, copy=False).tobytes())
+            tfs.move(dtmp, f"{tbase}/dst_{pid:05d}.bin")
+            starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+            runs = np.diff(np.r_[starts, cnt]).astype("int64")
+            rtmp = f"{tbase}/.rle_{pid:05d}.bin.tmp"
+            with tfs.open_output_stream(rtmp) as out:
+                out.write(u[starts].astype("int64").tobytes())
+                out.write(runs.tobytes())
+            tfs.move(rtmp, f"{tbase}/rle_{pid:05d}.bin")
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([pid], type=pa.int32()), pa.array([cnt], type=pa.int64())],
+            names=["pid", "cnt"],
+        )
+
+    parts = sorted(
+        (r["pid"], r["cnt"])
+        for r in oriented.select("src", "dst")
+        .orderBy("src", "dst")
+        .mapInArrow(dump, "pid int, cnt long")
+        .collect()
+    )
+    # ptr from the RLE summaries alone — driver reads O(Σ distinct
+    # srcs), a few MB even at the 400M-edge cap, never the dst data
+    counts = np.zeros(n, dtype="int64")
+    for pid, cnt in parts:
+        if cnt == 0:
+            continue
+        with fs.open_input_stream(f"{base}/rle_{pid:05d}.bin") as f:
+            raw = f.read()
+        pairs = np.frombuffer(raw, dtype="int64")
+        half = len(pairs) // 2
+        np.add.at(counts, pairs[:half], pairs[half:])
+    ptr = np.zeros(n + 1, dtype="int64")
+    np.cumsum(counts, out=ptr[1:])
+    with fs.open_output_stream(f"{base}/.ptr.bin.tmp") as out:
+        out.write(ptr.tobytes())
+    fs.move(f"{base}/.ptr.bin.tmp", f"{base}/ptr.bin")
+    return parts, ptr
+
+
+def _fetch_shared_index(shared_uri: str, parts, n: int, dt: str):
+    """Node-local assembly of the shared probe index: the FIRST worker
+    process on a node downloads ptr + the dst blocks (in partition
+    order) from the shared dir into a flock-guarded local cache; every
+    other worker on that node mmaps the same files. Per-NODE traffic is
+    one index copy pulled in parallel from the shared filesystem — the
+    bandwidth shape of a torrent broadcast, with zero driver bytes."""
+    import fcntl
+    import hashlib
+    import shutil
+    import tempfile
+
+    import pyarrow.fs as pafs
+
+    key = hashlib.sha256(f"{shared_uri}|{n}".encode()).hexdigest()[:16]
+    cdir = os.path.join(tempfile.gettempdir(), f"pgb_tri_idx_{key}")
+    os.makedirs(cdir, exist_ok=True)
+    with open(os.path.join(cdir, ".lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            done = os.path.join(cdir, "done")
+            if not os.path.exists(done):
+                fs, base = pafs.FileSystem.from_uri(shared_uri)
+                with fs.open_input_stream(f"{base}/ptr.bin") as f, open(
+                    os.path.join(cdir, "ptr.bin"), "wb"
+                ) as out:
+                    shutil.copyfileobj(f, out)
+                with open(os.path.join(cdir, "dsts.bin"), "wb") as out:
+                    for pid, cnt in parts:
+                        if cnt == 0:
+                            continue
+                        with fs.open_input_stream(
+                            f"{base}/dst_{pid:05d}.bin"
+                        ) as f:
+                            shutil.copyfileobj(f, out)
+                with open(done, "w") as f:
+                    f.write("ok")
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+    ptr = np.memmap(os.path.join(cdir, "ptr.bin"), dtype="int64", mode="r")
+    dst = np.memmap(os.path.join(cdir, "dsts.bin"), dtype=dt, mode="r")
+    return ptr, dst
+
+
 def _wedge_balanced_bounds(ptr: np.ndarray, tasks: int) -> np.ndarray:
     """Pivot-range boundaries splitting total wedge work (Σ d·(d−1)/2)
     evenly across ``tasks`` — the skew-proof replacement for hashing
@@ -392,15 +555,34 @@ def _wedge_balanced_bounds(ptr: np.ndarray, tasks: int) -> np.ndarray:
     return bounds.astype("int64")
 
 
+class BlockedIndexTooLarge(RuntimeError):
+    """Blocked tier unavailable: no shared staging dir is configured on
+    this cluster and the oriented edge set exceeds what the driver's
+    memory can safely collect+broadcast (``blocked_driver_cap``).
+    Callers fall back to the pure-shuffle DataFrame join plan."""
+
+
 def triangle_count_blocked(
-    edges: DataFrame, n: int, num_blocks: int | None = None
+    edges: DataFrame,
+    n: int,
+    num_blocks: int | None = None,
+    shared_dir: str | None = None,
+    use_shared_fs: bool | None = None,
 ) -> int:
     """Blocked tier: Spark orients in (deg, id)-rank space and writes the
     range-sorted CSR probe index from its own tasks (no driver-funnel
-    collect, see ``_dump_sorted_index``); counting fans out as
-    wedge-balanced pivot ranges, each probing the ONE shared index
-    (tmpfs mmap locally, torrent broadcast on a cluster). Only the
-    boundary table (#tasks rows) ever reaches the driver."""
+    collect — ``_dump_sorted_index`` to tmpfs in local mode,
+    ``_dump_sorted_index_fs`` to a shared-filesystem URI on a cluster);
+    counting fans out as wedge-balanced pivot ranges, each probing ONE
+    node-local copy of the index. Only the boundary table (#tasks rows)
+    and the small run-length summaries ever reach the driver.
+
+    On a cluster without a configured shared dir
+    (``spark.pygraphblas.tri.sharedDir`` / ``PGB_TRI_SHARED_DIR``) the
+    legacy driver-collect path remains, but only up to
+    ``blocked_driver_cap`` oriented edges (derived from
+    ``spark.driver.memory``) — beyond that :class:`BlockedIndexTooLarge`
+    is raised and the caller's join plan takes over."""
     import pyarrow as pa
 
     spark = edges.sparkSession
@@ -408,6 +590,15 @@ def triangle_count_blocked(
     if num_blocks is None:
         num_blocks = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     local_mode = sc.master.startswith("local")
+    shared = shared_dir or _shared_index_dir(spark)
+    if use_shared_fs is None:
+        use_shared_fs = not local_mode and shared is not None
+    if use_shared_fs and shared is not None:
+        # unique staging subdir per run: node-local fetch caches key on
+        # the URI, so reusing one path across runs would serve stale data
+        import uuid
+
+        shared = f"{shared.rstrip('/')}/tri_{uuid.uuid4().hex[:12]}"
 
     oriented, n_ranked, pinned = _oriented_ranked_df(edges, num_blocks, n=n)
     n = n_ranked  # pair keys pack against the (tighter) ranked domain
@@ -417,7 +608,16 @@ def triangle_count_blocked(
     oriented = oriented.persist()
 
     ptr_path = dst_path = ptr_b = dst_b = tmpdir = None
-    if local_mode:
+    fs_parts = fs_dt = None
+    if use_shared_fs:
+        if shared is None:
+            raise ValueError(
+                "use_shared_fs requires a shared dir "
+                "(spark.pygraphblas.tri.sharedDir / PGB_TRI_SHARED_DIR)"
+            )
+        fs_parts, ptr = _dump_sorted_index_fs(oriented, n, shared)
+        fs_dt = "int32" if n <= (1 << 31) - 1 else "int64"
+    elif local_mode:
         import tempfile
 
         base = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -425,8 +625,32 @@ def triangle_count_blocked(
         ptr_path, dst_path = _dump_sorted_index(oriented, n, tmpdir)
         ptr = np.load(ptr_path, mmap_mode="r")
     else:
-        # cluster path: the index must live on the driver once anyway to
-        # broadcast; collect it sorted (parallel range sort, serial pull)
+        # legacy driver-collect fallback (no shared dir configured):
+        # bounded by what THIS driver can hold — a silent 6.4 GB pull
+        # at the old fixed 400M cap is exactly the funnel the north
+        # rule forbids
+        cap = blocked_driver_cap(spark, n)
+        m_oriented = oriented.count()
+        if m_oriented > cap:
+            oriented.unpersist()
+            for p in pinned:
+                p.unpersist()
+            raise BlockedIndexTooLarge(
+                f"{m_oriented} oriented edges exceed the driver-collect cap "
+                f"{cap} (from spark.driver.memory); configure "
+                "spark.pygraphblas.tri.sharedDir for the task-side index "
+                "dump or use the DataFrame join plan"
+            )
+        import warnings
+
+        warnings.warn(
+            "triangle_count_blocked: no shared index dir configured — "
+            f"collecting {m_oriented} oriented edges through the driver "
+            "(set spark.pygraphblas.tri.sharedDir to keep the index "
+            "task-side)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         ktbl = oriented.select("src", "dst").orderBy("src", "dst").toArrow()
         ptr, dsts = _csr_index_cols(
             np.asarray(
@@ -453,9 +677,14 @@ def triangle_count_blocked(
         "lo long, hi long",
     ).repartition(max(1, len(bounds) - 1))
 
-    def count(batches, pp=ptr_path, dp=dst_path, pb=ptr_b, db=dst_b):
-        pv = np.load(pp, mmap_mode="r") if pp is not None else pb.value
-        dv = np.load(dp, mmap_mode="r") if dp is not None else db.value
+    def count(batches, pp=ptr_path, dp=dst_path, pb=ptr_b, db=dst_b,
+              su=shared if use_shared_fs else None, sp=fs_parts, sn=n,
+              sdt=fs_dt):
+        if su is not None:
+            pv, dv = _fetch_shared_index(su, sp, sn, sdt)
+        else:
+            pv = np.load(pp, mmap_mode="r") if pp is not None else pb.value
+            dv = np.load(dp, mmap_mode="r") if dp is not None else db.value
         t = 0
         for bt in batches:
             for lo, hi in zip(
@@ -482,3 +711,14 @@ def triangle_count_blocked(
 
             del ptr
             shutil.rmtree(tmpdir, ignore_errors=True)
+        if use_shared_fs and shared is not None:
+            # staging files are one-shot: delete the unique subdir (the
+            # node-local fetch caches live in each node's tmp, bounded
+            # by index size and reaped with it)
+            try:
+                import pyarrow.fs as pafs
+
+                fsys, fbase = pafs.FileSystem.from_uri(shared)
+                fsys.delete_dir(fbase)
+            except Exception:
+                pass

@@ -412,6 +412,32 @@ def compact_state(
         _must(fs.delete(P(base_old), True), f"delete {base_old}")
 
 
+def _pending_batches(spark: SparkSession, state_root: str) -> int:
+    """Count of delta-appended micro-batches since the last compaction,
+    persisted as empty marker files ``state_root/.pending/b<batch_id>``.
+    Marker names are the checkpoint's batch id, so a crash-retried
+    micro-batch re-creates the SAME marker (idempotent) and the count
+    survives query restarts and short-lived maintenance calls alike."""
+    p = f"{state_root}/.pending"
+    if not _exists(spark, p):
+        return 0
+    fs, P = _fs(spark, p)
+    return len(fs.listStatus(P(p)))
+
+
+def _mark_pending(spark: SparkSession, state_root: str, batch_id: int) -> None:
+    fs, P = _fs(spark, state_root)
+    fs.mkdirs(P(f"{state_root}/.pending"))
+    fs.create(P(f"{state_root}/.pending/b{batch_id}"), True).close()
+
+
+def _clear_pending(spark: SparkSession, state_root: str) -> None:
+    fs, P = _fs(spark, state_root)
+    p = P(f"{state_root}/.pending")
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 def incremental_components_maintenance(
     spark: SparkSession,
     stream_path: str,
@@ -420,6 +446,7 @@ def incremental_components_maintenance(
     n_buckets: int = N_STATE_BUCKETS,
     compact_every: int | None = None,
     max_files_per_trigger: int | None = None,
+    on_batch=None,
 ):
     """Run incremental CC over all currently-available stream input
     (trigger availableNow) and block until done. Per batch, state is
@@ -429,18 +456,28 @@ def incremental_components_maintenance(
     delta log, stamped with the micro-batch id as ``seq``.
 
     ``compact_every=k`` folds the delta log into a fresh bucketed base
-    snapshot after every k-th micro-batch processed by THIS call — the
-    long-lived-query maintenance cadence (callers no longer need to
-    stop the query to compact). ``max_files_per_trigger`` chunks the
+    snapshot after every k-th delta-appending micro-batch — counted via
+    PERSISTED per-batch markers (``.pending/``), so the cadence holds
+    across query restarts AND across short-lived maintenance calls
+    (a query-per-batch caller that processes fewer than k batches per
+    call no longer grows the delta log unboundedly — the r4 advisory's
+    silent performance cliff). ``max_files_per_trigger`` chunks the
     available input into micro-batches of at most that many source
     files, so one query lifecycle processes many batches — the
-    production cluster shape — instead of a fresh query per batch."""
+    production cluster shape — instead of a fresh query per batch.
+
+    ``on_batch(batch_id, seconds)`` — optional hook called after each
+    micro-batch commit (used by the scaling probe to count ACTUAL
+    micro-batches and their durations instead of assuming the feeder's
+    logical batching survived the file-source's trigger chunking)."""
     edges = stream_edges_from_files(
         spark, stream_path, max_files_per_trigger=max_files_per_trigger
     )
-    done = {"batches": 0}
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        t0 = _time.time()
         sess = batch.sparkSession
         # persist the batch edges ONCE: downstream lineage reads them
         # many times (vertex set, bucket collects, symmetrize uses the
@@ -471,14 +508,16 @@ def incremental_components_maintenance(
             ).write.mode("append").parquet(f"{state_root}/delta")
         finally:
             e.unpersist()
-        # in-query compaction cadence: counted per maintenance CALL (not
-        # batch_id, which is monotone across the checkpoint's lifetime
-        # and would drift off-cadence after restarts). Runs after the
-        # delta append, so a micro-batch retry re-appends identical
-        # rows and re-folds idempotently.
-        done["batches"] += 1
-        if compact_every and done["batches"] % compact_every == 0:
-            compact_state(sess, state_root, n_buckets)
+        # compaction cadence from the persisted marker count. Runs
+        # after the delta append, so a micro-batch retry re-appends
+        # identical rows (same marker name) and re-folds idempotently.
+        if compact_every:
+            _mark_pending(sess, state_root, batch_id)
+            if _pending_batches(sess, state_root) >= compact_every:
+                compact_state(sess, state_root, n_buckets)
+                _clear_pending(sess, state_root)
+        if on_batch is not None:
+            on_batch(batch_id, _time.time() - t0)
 
     q = (
         edges.writeStream.foreachBatch(upsert)

@@ -142,6 +142,99 @@ def test_triangle_empty_and_tiny(spark):
     assert triangle_count(e2) == 0
 
 
+def test_triangle_cluster_shared_fs_no_driver_funnel(spark, monkeypatch, tmp_path):
+    """The blocked kernel's CLUSTER path must never pull the oriented
+    edge set through the driver (the r4 verdict's funnel,
+    tri_csr.py): with a shared staging dir the task-side fs dump runs
+    and every driver Arrow materialization stays bounded. Spy on
+    DataFrame.toArrow and record result sizes — the only table allowed
+    through is the per-range count (≤ num_blocks rows)."""
+    from pyspark.sql.classic.dataframe import DataFrame as SparkDF
+
+    from pygraphblas_spark.kernels import tri_csr
+
+    rng = np.random.RandomState(17)
+    n, m = 80, 700
+    I = rng.randint(0, n, m).tolist()
+    J = rng.randint(0, n, m).tolist()
+    e = edges_df(spark, I, J).select("src", "dst")
+    want = triangle_oracle(I, J, n)
+
+    seen = []
+    orig = SparkDF.toArrow
+
+    def spy(self):
+        tbl = orig(self)
+        seen.append(tbl.num_rows)
+        return tbl
+
+    monkeypatch.setattr(SparkDF, "toArrow", spy)
+    shared_root = tmp_path / "tri_shared"
+    got = tri_csr.triangle_count_blocked(
+        e, n, shared_dir=f"file://{shared_root}", use_shared_fs=True
+    )
+    assert got == want
+    assert seen and max(seen) <= 64, seen
+    # the unique staging subdir was cleaned up by the driver
+    assert not any(shared_root.glob("tri_*"))
+
+
+def test_blocked_driver_cap_from_memory(spark):
+    """#8: the legacy driver-collect fallback's cap is DERIVED from
+    spark.driver.memory, not a silent fixed constant."""
+    from pygraphblas_spark.kernels import tri_csr
+
+    assert tri_csr._parse_mem("4g") == 4 << 30
+    assert tri_csr._parse_mem("512m") == 512 << 20
+    assert tri_csr._parse_mem("2048") == 2048
+    mem = tri_csr._parse_mem(
+        spark.sparkContext.getConf().get("spark.driver.memory", "1g")
+    )
+    n = 1000
+    want = min((mem // 4 - 16 * n) // 24, tri_csr.BLOCKED_MAX_ORIENTED)
+    assert tri_csr.blocked_driver_cap(spark, n) == want
+
+    class _Conf:
+        def get(self, k, d=None):
+            return "64m"
+
+    class _SC:
+        def getConf(self):
+            return _Conf()
+
+    class _Spark:
+        sparkContext = _SC()
+
+    # a tiny driver caps out at zero rather than going negative
+    assert tri_csr.blocked_driver_cap(_Spark(), n=10**9) == 0
+
+
+def test_blocked_too_large_falls_back_to_join(spark, monkeypatch):
+    """auto strategy: when the blocked tier raises BlockedIndexTooLarge
+    (cluster, no shared dir, index over the driver cap) the DataFrame
+    join plan owns the count."""
+    from pygraphblas_spark.algorithms import triangles as T
+    from pygraphblas_spark.kernels import csr_dense, tri_csr
+
+    rng = np.random.RandomState(23)
+    n, m = 50, 400
+    I = rng.randint(0, n, m).tolist()
+    J = rng.randint(0, n, m).tolist()
+    e = edges_df(spark, I, J)
+    want = triangle_oracle(I, J, n)
+
+    hit = {}
+
+    def boom(edges, nn, **kw):
+        hit["blocked"] = True
+        raise tri_csr.BlockedIndexTooLarge("test: over driver cap")
+
+    monkeypatch.setattr(csr_dense, "INCORE_MAX_NNZ", 0)
+    monkeypatch.setattr(tri_csr, "triangle_count_blocked", boom)
+    assert triangle_count(e) == want
+    assert hit.get("blocked")
+
+
 def test_triangle_wedge_chunking(spark, monkeypatch):
     # force many tiny chunks through the vectorized enumerate so the
     # intra-segment split path is exercised

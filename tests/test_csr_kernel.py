@@ -242,3 +242,55 @@ def test_cc_contraction_converges_on_deep_paths(spark):
     assert sorted(got2["component"].unique()) == [0]
     assert len(ck2.records) <= 20, f"{len(ck2.records)} rounds (want O(log n))"
     assert got2.sort_values("id")["component"].tolist() == got.sort_values("id")["component"].tolist()
+
+
+def test_delta_frontier_vote_matches_full_vote():
+    """Delta-frontier rounds (`_affected_segments` + sub-CSR re-vote)
+    must be bit-identical to the always-full vote for both LPA and CC,
+    including CC's contraction interplay (contraction-changed labels
+    feed the next round's frontier). Run the loop with the frontier
+    forced on after round 1 (DIV=1) vs forced off (huge DIV) on random
+    graphs, directed and symmetrized."""
+    from functools import partial
+
+    from pygraphblas_spark.kernels import csr_dense as K
+
+    rng = np.random.default_rng(11)
+    for trial, (n, m, sym) in enumerate(
+        [(200, 700, True), (500, 1500, False), (300, 4000, True)]
+    ):
+        s = rng.integers(0, n, m)
+        d = rng.integers(0, n, m)
+        if sym:
+            s, d = np.r_[s, d], np.r_[d, s]
+        K2 = np.unique(d * n + s)
+        dstk = K2 // n
+        starts = np.flatnonzero(np.r_[True, dstk[1:] != dstk[:-1]]).astype(
+            "int64"
+        )
+        uniq, src = dstk[starts], K2 % n
+
+        def run(block_fn, shortcut, div):
+            old = K.DELTA_FRONTIER_DIV
+            K.DELTA_FRONTIER_DIV = div
+            try:
+                from pygraphblas_spark.plans.checkpoint import (
+                    CheckpointManager,
+                )
+
+                labels, conv = K._label_incore_loop(
+                    None, CheckpointManager(algorithm="t"), n, uniq,
+                    starts, src, 30, block_fn, "label", shortcut=shortcut,
+                )
+            finally:
+                K.DELTA_FRONTIER_DIV = old
+            return labels, conv
+
+        for block_fn, shortcut in (
+            (partial(K._lpa_block_update, base=n + 1), False),
+            (K._cc_block_update, True),
+        ):
+            full, cf = run(block_fn, shortcut, 10**9)
+            delta, cd = run(block_fn, shortcut, 1)
+            assert cf == cd, (trial, shortcut)
+            assert np.array_equal(full, delta), (trial, shortcut)

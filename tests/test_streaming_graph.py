@@ -155,6 +155,51 @@ def test_long_lived_query_chunked_with_inquery_compaction(spark, tmp_path):
     assert not os.path.exists(f"{state_root}/delta")
 
 
+def test_compaction_cadence_persists_across_calls(spark, tmp_path):
+    """r4 ADVICE: a query-per-batch caller that processes fewer than
+    ``compact_every`` micro-batches per CALL must still hit the
+    compaction cadence — the pending-batch markers persist in the state
+    root across calls, so the delta log cannot grow unboundedly (the
+    pre-fix per-call counter never fired in that usage pattern)."""
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    state_root = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, pairs):
+        with open(stream_dir / name, "w") as f:
+            for s, d in pairs:
+                f.write(
+                    json.dumps(
+                        {"src": s, "dst": d, "ts": "2026-01-01T00:00:00"}
+                    )
+                    + "\n"
+                )
+
+    write_batch("b1.json", _PHASE1)
+    incremental_components_maintenance(
+        spark, str(stream_dir), state_root, ckpt, compact_every=2
+    )
+    # one batch processed < cadence: delta only, one pending marker
+    assert os.path.exists(f"{state_root}/delta")
+    assert not os.path.exists(f"{state_root}/base")
+    # one marker (ignore Hadoop local-FS .crc sidecars)
+    assert [
+        f for f in os.listdir(f"{state_root}/.pending") if not f.startswith(".")
+    ] == ["b0"]
+
+    write_batch("b2.json", _PHASE2)
+    incremental_components_maintenance(
+        spark, str(stream_dir), state_root, ckpt, compact_every=2
+    )
+    # second call's single batch reaches the cadence: folded + cleared
+    assert os.path.exists(f"{state_root}/base")
+    assert not os.path.exists(f"{state_root}/delta")
+    assert not os.path.exists(f"{state_root}/.pending")
+    got = {r["id"]: r["component"] for r in read_state(spark, state_root).collect()}
+    assert got == _full_cc(spark, _PHASE1 + _PHASE2)
+
+
 def test_compaction_crash_fallback_and_heal(spark, tmp_path):
     """Crash-safety of the compaction swap (ADVICE): if a crash strands
     the snapshot as ``base_old`` (rename base->base_old done, base_new
