@@ -1105,6 +1105,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("user_id", "session_start_us", "n", "cents")
         )
 
+    def events_sliding(spark, sf):
+        # SLIDING event-time windows (1 h length, 15 min slide — each
+        # event lands in 4 windows) as pure integer arithmetic: the
+        # 15-min bucket index k = us div 900e6, the four containing
+        # windows start at buckets k-3..k, explode + aggregate. Same
+        # zero-timestamp-typed-expressions discipline as events_window
+        # (the r3 prescription that ended the 2-round red streak); the
+        # streaming-path equivalence with F.window(ts, '1 hour',
+        # '15 minutes') is pinned in tests/test_tz_independence.py.
+        ev = _events_us(spark, sf)
+        k = F.expr("us div 900000000")
+        return (
+            ev.withColumn(
+                "wk", F.explode(F.array(k - 3, k - 2, k - 1, k))
+            )
+            .withColumn("ws", (F.col("wk") * F.lit(900)).cast("long"))
+            .groupBy("ws", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("cents"),
+            )
+            .select("ws", "event_type", "n", "cents")
+        )
+
+    def events_late_drop(spark, sf):
+        # Watermark late-data semantics as a deterministic batch
+        # replica: arrival order = event_id; the running watermark is
+        # max(event time seen so far) − 10 min, and an event is DROPPED
+        # iff it arrives older than the watermark — exactly Structured
+        # Streaming's withWatermark drop rule, evaluated in arrival
+        # order so DuckDB can twin it. Survivors aggregate into the
+        # same 1 h tumbling windows as events_window. The running max
+        # is a global-order scan by construction (a stream IS a total
+        # arrival order) — verification-scale formulation; the
+        # streaming engine itself tracks the watermark as state.
+        from pyspark.sql import Window as W
+
+        ev = _events_us(spark, sf)
+        o = W.orderBy("event_id").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        wm = F.max("us").over(o) - F.lit(600_000_000)
+        ws = (F.col("us") - F.col("us") % F.lit(3_600_000_000)) / F.lit(
+            1_000_000
+        )
+        return (
+            ev.withColumn("wm", wm)
+            .filter(F.col("us") >= F.col("wm"))
+            .withColumn("ws", ws.cast("long"))
+            .groupBy("ws", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("cents"),
+            )
+            .select("ws", "event_type", "n", "cents")
+        )
+
     def extract_row(spark, sf):
         # Matrix.__getitem__[int] → row-extract Vector (reference
         # matrix.py extract_row); deterministic row = min populated src
@@ -1379,14 +1436,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pytest coverage (extract_row + eadd_union..tril_filter) sit past
     # the cap and rotate back in next round.
     return {
+        # r5 rotation: the 7 operator queries r4 benched out return to
+        # the gate, plus the two NEW event-time queries (sliding window,
+        # watermark late-drop) which must sit inside the cap on their
+        # first round; 9 r4-green rows with golden pytest coverage
+        # rotate out (below the cap marker).
         "stream_cc": stream_cc,
-        "pii_redaction": pii_redaction,
-        "repetition_flags": repetition_flags,
-        "bfs_parents": bfs_parents,
-        "stream_dedup": stream_dedup,
-        "stride_extract": stride_extract,
-        "mxm_masked_accum": mxm_masked_accum,
-        "sssp_weighted": sssp_weighted,
+        "extract_row": extract_row,
+        "eadd_union": eadd_union,
+        "emult_intersection": emult_intersection,
+        "select_gt": select_gt,
+        "apply_scale": apply_scale,
+        "transpose_pattern": transpose_pattern,
+        "tril_filter": tril_filter,
+        "events_sliding": events_sliding,
+        "events_late_drop": events_late_drop,
         "triangle_centrality": triangle_centrality_q,
         "degree_centrality": degree_centrality_q,
         "log_semiring_mxm": log_semiring_mxm,
@@ -1410,8 +1474,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codegraph_pagerank": codegraph_pagerank,
         "exact_dedup": exact_dedup,
         "token_counts": token_counts,
-        "lang_id": lang_id,
-        "doc_fingerprint": doc_fingerprint,
         "cosine_topk": cosine_topk,
         "ivf_topk_fullprobe": ivf_topk_fullprobe,
         "minhash_near_dups": minhash_near_dups,
@@ -1429,15 +1491,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": events_window,
         "user_sessions": user_sessions,
         "simhash_near_dups": simhash_near_dups,
-        # --- past the ~50 gate cap this round (green in round 3's gate,
+        # --- past the ~50 gate cap this round (green in round 4's gate,
         # golden pytest coverage; rotate back in next round) ---
-        "extract_row": extract_row,
-        "eadd_union": eadd_union,
-        "emult_intersection": emult_intersection,
-        "select_gt": select_gt,
-        "apply_scale": apply_scale,
-        "transpose_pattern": transpose_pattern,
-        "tril_filter": tril_filter,
+        "pii_redaction": pii_redaction,
+        "repetition_flags": repetition_flags,
+        "bfs_parents": bfs_parents,
+        "stream_dedup": stream_dedup,
+        "stride_extract": stride_extract,
+        "mxm_masked_accum": mxm_masked_accum,
+        "sssp_weighted": sssp_weighted,
+        "lang_id": lang_id,
+        "doc_fingerprint": doc_fingerprint,
     }
 
 
@@ -1823,6 +1887,46 @@ def oracle_sql() -> dict[str, str]:
             # these two queries are the only oracles summing a BIGINT)
             "event_type, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents "
             "FROM t GROUP BY 1, 2"
+        ),
+        "events_sliding": (
+            # sliding 1 h / 15 min: bucket k = us div 900e6 (integer
+            # div via subtraction, since DuckDB's / is double), four
+            # containing windows k-3..k via a 4-row offset join —
+            # integer arithmetic end-to-end like events_window
+            "WITH t AS (SELECT "
+            "datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 86400000000 "
+            "+ date_part('hour', ts) * 3600000000 "
+            "+ date_part('minute', ts) * 60000000 "
+            "+ date_part('microsecond', ts) AS us, "
+            "event_type, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents "
+            "FROM events), "
+            "k AS (SELECT CAST((us - (us % 900000000)) / 900000000 AS BIGINT) AS kb, "
+            "event_type, cents FROM t) "
+            "SELECT (k.kb - off.o) * 900 AS ws, event_type, "
+            "COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents "
+            "FROM k CROSS JOIN (VALUES (0), (1), (2), (3)) AS off(o) "
+            "GROUP BY 1, 2"
+        ),
+        "events_late_drop": (
+            # watermark drop rule in arrival order (= event_id): keep
+            # rows not older than max-us-so-far − 10 min, then the same
+            # 1 h tumbling aggregate as events_window
+            "WITH t AS (SELECT event_id, "
+            "datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 86400000000 "
+            "+ date_part('hour', ts) * 3600000000 "
+            "+ date_part('minute', ts) * 60000000 "
+            "+ date_part('microsecond', ts) AS us, "
+            "event_type, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents "
+            "FROM events), "
+            "w AS (SELECT us, event_type, cents, "
+            "MAX(us) OVER (ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "- 600000000 AS wm FROM t) "
+            "SELECT CAST((us - (us % 3600000000)) / 1000000 AS BIGINT) AS ws, "
+            "event_type, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents "
+            "FROM w WHERE us >= wm GROUP BY 1, 2"
         ),
         "user_sessions": (
             "WITH t AS (SELECT user_id, event_id, "

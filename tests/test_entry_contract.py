@@ -86,27 +86,30 @@ def test_rows_only_queries(spark, name):
 
 def test_gate_rotation_policy():
     """The driver gate runs the first ~50 ``queries()`` entries, so dict
-    order is the gate schedule. Pin the policy: (a) the streaming
-    event-time queries (the r2/r3 red cells) and every query round 3's
-    gate rotated out sit INSIDE the cap; (b) everything past the cap was
-    green in round 3's gate (nothing goes two consecutive rounds
-    unchecked)."""
+    order is the gate schedule. Pin the round-5 policy: (a) the 7
+    operator queries round 4's gate rotated out sit INSIDE the cap
+    again, as do the two NEW event-time queries (first round — no green
+    row anywhere yet) and the formerly-red streaming windows; (b)
+    everything past the cap was green in round 4's gate (nothing goes
+    two consecutive rounds unchecked)."""
     import json
 
     order = list(QUERIES)
     cap = 50
     must_run = {
-        # rotated out of round 3's gate (green in round 2)
-        "pii_redaction", "repetition_flags", "bfs_parents", "stream_dedup",
-        "stride_extract", "mxm_masked_accum", "sssp_weighted",
-        # former red cells — must stay gated until green in the driver env
+        # rotated out of round 4's gate (green in round 3)
+        "extract_row", "eadd_union", "emult_intersection", "select_gt",
+        "apply_scale", "transpose_pattern", "tril_filter",
+        # new this round — never gate-checked before
+        "events_sliding", "events_late_drop",
+        # former red cells — stay gated
         "events_window", "user_sessions",
     }
     inside = set(order[:cap])
     assert must_run <= inside, must_run - inside
-    r3 = json.load(open("/root/repo/CORRECTNESS_r03.json"))
+    r4 = json.load(open("/root/repo/CORRECTNESS_r04.json"))
     for name in order[cap:]:
-        row = r3.get(name)
+        row = r4.get(name)
         assert row and row["hash_match"], (
-            f"{name} sits past the gate cap but has no green round-3 row"
+            f"{name} sits past the gate cap but has no green round-4 row"
         )

@@ -117,3 +117,27 @@ def test_user_sessions_matches_typed_session_window_op(spark):
         )
     )
     assert got == _collect_sorted(typed)
+
+
+def test_events_sliding_matches_typed_window_op(spark):
+    """Integer 15-min-bucket × 4-offset formulation == F.window('1 hour',
+    '15 minutes') over the tz-independent LTZ column (the streaming code
+    path's sliding-window op — each event lands in 4 windows)."""
+    got = _collect_sorted(entry.queries()["events_sliding"](spark, SF))
+    ev = entry._events_utc(spark, SF).withColumn(
+        "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    )
+    typed = (
+        ev.groupBy(
+            F.window("ts_utc", "1 hour", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("ws"),
+            "event_type",
+            "n",
+            "cents",
+        )
+    )
+    assert got == _collect_sorted(typed)
