@@ -207,7 +207,12 @@ for _ in range(reps):
                              strategy="join", checkpoint=ck).count()
     tots.append(time.time() - t0)
 floor = min(tots)
-out["cc_join"] = {"iters": 3, "per_iter_sec": round(floor, 3),
+# one-shot record shape (iters=1, per_iter_sec = whole-shot floor) —
+# the same convention as the triangles/pipeline one-shot probes; the
+# fixed round count lives in its own field so no reader mistakes the
+# 3-round total for a per-round marginal
+out["cc_join"] = {"iters": 1, "rounds_per_shot": 3,
+                  "per_iter_sec": round(floor, 3),
                   "per_iter_median_sec": round(sorted(tots)[len(tots) // 2], 3),
                   "per_iter_max_sec": round(max(tots), 3),
                   "noise_ratio": round(max(tots) / floor, 2),
@@ -224,6 +229,10 @@ TRI_CLUSTER_PROBE = r"""
 import os, sys, time, json
 k, tri_path, reps, mem_mb = (
     int(sys.argv[1]), sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+# "local-cluster[...]" startswith "local", so triangle_count's auto tier
+# would run the in-core DRIVER numpy kernel on small inputs — measuring
+# the driver, not the isolated executors. Pin the executor plan.
+os.environ["PGB_INCORE_MAX_NNZ"] = "0"
 # Executor-ISOLATED scaling (r4 verdict #3): local-cluster[k,1,mem]
 # spawns k separate single-core executor JVMs (own heaps, own thread
 # pools) instead of k threads inside one machine-sized JVM, and
@@ -1082,12 +1091,38 @@ def main():
                     elif r["cores"] == args.high:
                         s_high = _merge_runs(r)
 
+    def _parquet_rows(path: str) -> int | None:
+        """Row count from parquet footers (no Spark job) — pins the
+        recorded-run workload size for _latest_recorded."""
+        try:
+            import pyarrow.dataset as ds
+
+            return ds.dataset(path, format="parquet").count_rows()
+        except Exception:
+            return -1  # unreadable -> match no recorded run
+
     # join-path and executor-isolated tiers: reuse latest recorded runs
-    # at the current code tag; measure what's missing (main branch only)
-    j_low = _latest_recorded("join", args.low, 2)
-    j_high = _latest_recorded("join", args.high, 2)
-    t_low = _latest_recorded("tri_cluster", args.low, 1)
-    t_high = _latest_recorded("tri_cluster", args.high, 1)
+    # at the current code tag AND workload size; measure what's missing
+    # (main branch only)
+    jpath16 = os.path.join(DATA_DIR, f"edges_{_tag(args.files)}.parquet")
+    tpath4 = os.path.join(DATA_DIR, f"edges_{_tag(args.tri_files)}.parquet")
+    # -1 sentinel when the input doesn't exist yet: no recorded run can
+    # match it, so a smoke-scale record can never stand in for a
+    # not-yet-generated real input
+    join_edges = (
+        _parquet_rows(jpath16)
+        if os.path.exists(os.path.join(jpath16, "_SUCCESS"))
+        else -1
+    )
+    tri_edges = (
+        _parquet_rows(tpath4)
+        if os.path.exists(os.path.join(tpath4, "_SUCCESS"))
+        else -1
+    )
+    j_low = _latest_recorded("join", args.low, 2, edges=join_edges)
+    j_high = _latest_recorded("join", args.high, 2, edges=join_edges)
+    t_low = _latest_recorded("tri_cluster", args.low, 1, edges=tri_edges)
+    t_high = _latest_recorded("tri_cluster", args.high, 1, edges=tri_edges)
     if not (args.report_only or args.append_streaming):
         if not args.skip_join and (j_low is None or j_high is None):
             jpath = ensure_input(args.files)

@@ -59,9 +59,16 @@ BLOCKED_MAX_ORIENTED = int(os.environ.get("PGB_TRI_MAX_ORIENTED", "400000000"))
 
 
 def _parse_mem(s: str) -> int:
-    """Spark memory string ("4g", "512m", "1024k", plain bytes) → bytes."""
+    """Spark memory string → bytes. Accepts every suffix Spark's
+    JavaUtils.byteStringAsBytes does for ``spark.driver.memory``:
+    "4g"/"4gb", "512m"/"512mb", "1024k"/"1024kb", "2t"/"2tb",
+    "1048576b", or plain bytes."""
     s = s.strip().lower()
     mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s.endswith("b") and len(s) > 1 and s[-2] in mult:
+        return int(float(s[:-2]) * mult[s[-2]])
+    if s.endswith("b") and len(s) > 1 and s[-2].isdigit():
+        return int(float(s[:-1]))
     if s and s[-1] in mult:
         return int(float(s[:-1]) * mult[s[-1]])
     return int(float(s))
@@ -344,7 +351,9 @@ def _dump_sorted_index(oriented: DataFrame, n: int, tmpdir: str):
     from pyspark import TaskContext
 
     def dump(batches):
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        att = ctx.taskAttemptId()
         us, vs = [], []
         for bt in batches:
             us.append(bt.column("src").to_numpy(zero_copy_only=False))
@@ -355,14 +364,17 @@ def _dump_sorted_index(oriented: DataFrame, n: int, tmpdir: str):
             v = np.asarray(np.concatenate(vs), dtype="int64")
             cnt = len(u)
             dt = "int32" if n <= (1 << 31) - 1 else "int64"
-            # atomic publish (tmp+rename) so a re-run task can't be
-            # observed half-written
-            dtmp = os.path.join(tmpdir, f".dst_{pid:05d}.bin.tmp")
+            # atomic publish (tmp+rename); tmp names carry the task
+            # ATTEMPT id so a speculative/retried attempt racing the
+            # original can't interleave writes into one tmp file —
+            # whichever rename lands last publishes a complete file
+            # with identical (deterministically sorted) content
+            dtmp = os.path.join(tmpdir, f".dst_{pid:05d}.{att}.tmp")
             v.astype(dt, copy=False).tofile(dtmp)
             os.rename(dtmp, os.path.join(tmpdir, f"dst_{pid:05d}.bin"))
             starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
             runs = np.diff(np.r_[starts, cnt]).astype("int64")
-            rtmp = os.path.join(tmpdir, f".rle_{pid:05d}.npz.tmp")
+            rtmp = os.path.join(tmpdir, f".rle_{pid:05d}.{att}.tmp")
             with open(rtmp, "wb") as fh:
                 np.savez(fh, srcs=u[starts], runs=runs)
             os.rename(rtmp, os.path.join(tmpdir, f"rle_{pid:05d}.npz"))
@@ -441,7 +453,9 @@ def _dump_sorted_index_fs(oriented: DataFrame, n: int, shared_uri: str):
     def dump(batches):
         import pyarrow.fs as pafs_t
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        att = ctx.taskAttemptId()
         us, vs = [], []
         for bt in batches:
             us.append(bt.column("src").to_numpy(zero_copy_only=False))
@@ -452,14 +466,18 @@ def _dump_sorted_index_fs(oriented: DataFrame, n: int, shared_uri: str):
             v = np.asarray(np.concatenate(vs), dtype="int64")
             cnt = len(u)
             tfs, tbase = pafs_t.FileSystem.from_uri(shared_uri)
-            # write tmp + move: a re-run task can't be seen half-written
-            dtmp = f"{tbase}/.dst_{pid:05d}.bin.tmp"
+            # tmp + move publishes whole files; tmp names carry the
+            # task ATTEMPT id so a speculative or retried attempt
+            # cannot interleave writes with the original into one tmp
+            # path — content is deterministic (sorted), so whichever
+            # move lands last publishes identical bytes
+            dtmp = f"{tbase}/.dst_{pid:05d}.{att}.tmp"
             with tfs.open_output_stream(dtmp) as out:
                 out.write(v.astype(dt, copy=False).tobytes())
             tfs.move(dtmp, f"{tbase}/dst_{pid:05d}.bin")
             starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
             runs = np.diff(np.r_[starts, cnt]).astype("int64")
-            rtmp = f"{tbase}/.rle_{pid:05d}.bin.tmp"
+            rtmp = f"{tbase}/.rle_{pid:05d}.{att}.tmp"
             with tfs.open_output_stream(rtmp) as out:
                 out.write(u[starts].astype("int64").tobytes())
                 out.write(runs.tobytes())
@@ -495,28 +513,56 @@ def _dump_sorted_index_fs(oriented: DataFrame, n: int, shared_uri: str):
     return parts, ptr
 
 
+#: node-local index caches from runs finished more than this many
+#: seconds ago are swept on the next fetch (a count phase runs minutes;
+#: 6 h leaves a wide margin while bounding tmp growth to recent runs)
+IDX_CACHE_TTL = int(os.environ.get("PGB_TRI_IDX_CACHE_TTL", str(6 * 3600)))
+
+
 def _fetch_shared_index(shared_uri: str, parts, n: int, dt: str):
     """Node-local assembly of the shared probe index: the FIRST worker
     process on a node downloads ptr + the dst blocks (in partition
     order) from the shared dir into a flock-guarded local cache; every
     other worker on that node mmaps the same files. Per-NODE traffic is
     one index copy pulled in parallel from the shared filesystem — the
-    bandwidth shape of a torrent broadcast, with zero driver bytes."""
+    bandwidth shape of a torrent broadcast, with zero driver bytes.
+
+    Caches are per-run (the staging URI is unique per run), so each
+    fetch also sweeps sibling cache dirs idle past ``IDX_CACHE_TTL`` —
+    tmp growth is bounded to the runs of the last few hours. The live
+    cache's ``done`` marker is touched on every fetch, keeping
+    long-running count phases fresh."""
     import fcntl
     import hashlib
     import shutil
     import tempfile
+    import time
 
     import pyarrow.fs as pafs
 
     key = hashlib.sha256(f"{shared_uri}|{n}".encode()).hexdigest()[:16]
-    cdir = os.path.join(tempfile.gettempdir(), f"pgb_tri_idx_{key}")
+    root = os.path.join(tempfile.gettempdir(), "pgb_tri_idx")
+    cdir = os.path.join(root, key)
     os.makedirs(cdir, exist_ok=True)
+    now = time.time()
+    for sib in os.listdir(root):
+        if sib == key:
+            continue
+        p = os.path.join(root, sib)
+        try:
+            ref = os.path.join(p, "done")
+            m = os.path.getmtime(ref if os.path.exists(ref) else p)
+            if now - m > IDX_CACHE_TTL:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # concurrent sweep/download — leave it
     with open(os.path.join(cdir, ".lock"), "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
         try:
             done = os.path.join(cdir, "done")
-            if not os.path.exists(done):
+            if os.path.exists(done):
+                os.utime(done)
+            else:
                 fs, base = pafs.FileSystem.from_uri(shared_uri)
                 with fs.open_input_stream(f"{base}/ptr.bin") as f, open(
                     os.path.join(cdir, "ptr.bin"), "wb"
@@ -713,8 +759,9 @@ def triangle_count_blocked(
             shutil.rmtree(tmpdir, ignore_errors=True)
         if use_shared_fs and shared is not None:
             # staging files are one-shot: delete the unique subdir (the
-            # node-local fetch caches live in each node's tmp, bounded
-            # by index size and reaped with it)
+            # node-local fetch caches sweep themselves — any cache idle
+            # past IDX_CACHE_TTL is removed by the next fetch on that
+            # node, see _fetch_shared_index)
             try:
                 import pyarrow.fs as pafs
 

@@ -187,6 +187,10 @@ def test_blocked_driver_cap_from_memory(spark):
     assert tri_csr._parse_mem("4g") == 4 << 30
     assert tri_csr._parse_mem("512m") == 512 << 20
     assert tri_csr._parse_mem("2048") == 2048
+    # Spark's JavaUtils also accepts two-letter suffixes and bare bytes
+    assert tri_csr._parse_mem("16gb") == 16 << 30
+    assert tri_csr._parse_mem("512mb") == 512 << 20
+    assert tri_csr._parse_mem("1024b") == 1024
     mem = tri_csr._parse_mem(
         spark.sparkContext.getConf().get("spark.driver.memory", "1g")
     )
