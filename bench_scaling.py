@@ -673,7 +673,9 @@ def ensure_stream_input(
     cross-batch (id%11==3 mutates the same position one batch earlier —
     exercising the vs-corpus LSH path)."""
     eroot = os.path.join(
-        DATA_DIR, f"stream_edges_{edge_batches}x{_tag(edges_per_batch)}"
+        DATA_DIR,
+        f"stream_edges_{edge_batches}x{_tag(edges_per_batch)}"
+        + ("" if n_blocks == 100_000 else f"_b{_tag(n_blocks)}"),
     )
     droot = os.path.join(
         DATA_DIR, f"stream_docs_{doc_batches}x{_tag(docs_per_batch)}"
@@ -895,6 +897,14 @@ def main():
     ap.add_argument("--stream-edges-per-batch", type=int, default=12_000_000)
     ap.add_argument("--stream-doc-batches", type=int, default=4)
     ap.add_argument("--stream-docs-per-batch", type=int, default=50_000)
+    # scale the BLOCK COUNT with the batch size: per-batch incremental
+    # work is ∝ the affected set (components touched + their members),
+    # and with a fixed 100k-block vertex space the extra edges of a
+    # bigger batch mostly collapse onto the same 6.4M vertices — the
+    # compute term stops growing and the fixed term still dominates.
+    # 8x batches ⇒ 8x blocks keeps edges/block constant so state,
+    # affected sets, and per-batch compute all scale with the batch.
+    ap.add_argument("--stream-blocks", type=int, default=800_000)
     ap.add_argument("--stream-compact-every", type=int, default=2,
                     help="compaction cadence (micro-batches) for stream_cc")
     ap.add_argument("--stream-reps", type=int, default=3,
@@ -923,6 +933,7 @@ def main():
         args.files, args.iters, args.tri_files = 200_000, 6, 200_000
         args.pipe_docs, args.pipe_vecs, args.pipe_queries = 50_000, 20_000, 500
         args.stream_edges_per_batch, args.stream_docs_per_batch = 20_000, 2_000
+        args.stream_blocks = 2_000
         args.join_iters = 3
 
     ratio = args.high / args.low
@@ -981,6 +992,7 @@ def main():
             e_root, d_root = ensure_stream_input(
                 args.stream_edge_batches, args.stream_edges_per_batch,
                 args.stream_doc_batches, args.stream_docs_per_batch,
+                n_blocks=args.stream_blocks,
             )
             if s_low is None:
                 s_low = run_stream_probe(
@@ -1043,6 +1055,7 @@ def main():
             e_root, d_root = ensure_stream_input(
                 args.stream_edge_batches, args.stream_edges_per_batch,
                 args.stream_doc_batches, args.stream_docs_per_batch,
+                n_blocks=args.stream_blocks,
             )
             s_low = run_stream_probe(
                 args.low, e_root, d_root, reps=args.stream_reps,
