@@ -771,7 +771,7 @@ def run_stream_probe(
     out = subprocess.run(
         [sys.executable, "-c", STREAM_PROBE, str(cores), edge_root,
          docs_root, str(reps), str(compact_every)],
-        capture_output=True, text=True, timeout=7200, cwd=REPO,
+        capture_output=True, text=True, timeout=14400, cwd=REPO,
     )
     if out.returncode != 0:
         raise RuntimeError(f"stream probe local[{cores}] failed:\n{out.stderr[-3000:]}")
